@@ -1,0 +1,117 @@
+"""Deterministic image codec + perceptual hash (numpy-only).
+
+Real image libraries (PIL/libjpeg) are not available in this container, so
+the codec is a deterministic fake with the same *shape* as a real one:
+
+- ``fpng`` — lossless: magic + dims + raw RGB bytes (PNG stand-in).
+- ``fjpg`` — lossy: per-channel quantization to 4-level steps (JPEG q~85
+  stand-in). Max per-pixel error is 2, giving PSNR ~46 dB — comfortably
+  above the 40 dB invariant from BASELINE.json input_hint, while still
+  exercising a genuine lossy round-trip in tests.
+
+All Spark-side plumbing (binary columns, Arrow batches, UDF signatures) is
+real; swapping in PIL later only changes ``encode``/``decode`` internals.
+Plugging real codecs: see ``decode_real`` which raises NotImplementedError
+by design until PIL is installed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC_PNG = b"FPNG"
+MAGIC_JPG = b"FJPG"
+_HEADER = struct.Struct(">4sHH")  # magic, w, h
+
+
+def pixels_for(index: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixel array for synthetic image #index.
+
+    Gradient + seeded noise; reproducible from the integer id alone so the
+    fetch-verification oracle can recompute pixels without storing them.
+    """
+    rng = np.random.Generator(np.random.PCG64(0xFACE_B00C + index))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+    grad = np.stack(
+        [base, ((yy * 255) // max(h - 1, 1)).astype(np.uint8), ((xx + yy) % 256).astype(np.uint8)],
+        axis=-1,
+    )
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+    return (grad.astype(np.uint16) + noise).clip(0, 255).astype(np.uint8)
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array as fpng (lossless) or fjpg (lossy)."""
+    h, w = arr.shape[:2]
+    if fmt == "png":
+        return _HEADER.pack(MAGIC_PNG, w, h) + arr.tobytes()
+    if fmt == "jpeg":
+        quant = ((arr.astype(np.uint16) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+        return _HEADER.pack(MAGIC_JPG, w, h) + quant.tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(buf: bytes) -> tuple[str, np.ndarray]:
+    """Decode a codec payload back to (fmt, (h, w, 3) uint8 array)."""
+    magic, w, h = _HEADER.unpack_from(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=_HEADER.size).reshape(h, w, 3)
+    if magic == MAGIC_PNG:
+        return "png", arr
+    if magic == MAGIC_JPG:
+        return "jpeg", arr
+    raise ValueError(f"bad magic {magic!r}")
+
+
+def decode_real(buf: bytes) -> np.ndarray:
+    """Decode a *real* PNG/JPEG via PIL — stubbed until the lib exists."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode requires PIL; the deterministic fake codec "
+            "(functions.images.decode) is the supported path in this container"
+        ) from exc
+    import io  # noqa: PLC0415
+
+    return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))  # pragma: no cover
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical arrays."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit average-hash: block-mean the grayscale image to 8x8, threshold
+    at the mean, pack bits row-major. Signed int64 (Spark LongType)."""
+    gray = arr.astype(np.float64).mean(axis=-1)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def resize_block_mean(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic resize by block averaging (multimodal `resize` op)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = arr[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+    return out

@@ -1,0 +1,53 @@
+"""Canonicalizer invariants: expr and Arrow-UDF paths agree (SURVEY.md F12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facebook_crawler_spark.functions.urls import (
+    canonicalize_url_expr,
+    canonicalize_urls,
+    host_of,
+    path_of,
+    url_hash,
+)
+
+CASES = [
+    ("https://CDN.FB-Images.Test/item/img_1?b=2&a=1&utm_source=x&fbclid=Z", "https://cdn.fb-images.test/item/img_1?a=1&b=2"),
+    ("http://Host-001.Example.Test:80/a/b?z=9", "http://host-001.example.test/a/b?z=9"),
+    ("https://h.test", "https://h.test/"),
+    ("https://h.test/p?utm_campaign=x", "https://h.test/p"),
+    ("https://h.test/p?ref=feed&x=1#frag", "https://h.test/p?x=1"),
+    ("https://h.test:443/p", "https://h.test/p"),
+]
+
+
+def test_expr_canonicalization_golden(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    got = [r.c for r in df.select(canonicalize_url_expr(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_udf_matches_expr_on_fixture_urls(spark):
+    from facebook_crawler_spark.sources import synthetic as syn
+
+    seeds = syn.gen_frontier_seeds(spark, 5000, n_images=1000)
+    df = seeds.select(
+        canonicalize_url_expr(F.col("url")).alias("e"),
+        canonicalize_urls(F.col("url")).alias("u"),
+    )
+    assert df.filter(F.col("e") != F.col("u")).count() == 0
+
+
+def test_url_hash_and_parts(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    out = df.select(
+        url_hash(canonicalize_url_expr(F.col("url"))).alias("h"),
+        host_of(F.col("url")).alias("host"),
+        path_of(F.col("url")).alias("path"),
+    ).collect()
+    # hash is injective on distinct canonical forms (cases 4 and 6 collide
+    # by design: tracking-strip and port-strip reach the same canonical URL)
+    assert len({r.h for r in out}) == len({want for _, want in CASES})
+    assert out[0].host == "cdn.fb-images.test"
+    assert out[2].path == "/"
