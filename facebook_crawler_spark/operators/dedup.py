@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup is an exact last-wins dict on adId
+(reference data_processing/data_processor.py:44-50) — `setalgebra.
+dedup_last_wins`. At 100 TB a pipeline needs the near-dup family too; all
+of these are first-class engine operators:
+
+- exact dedup by normalized-content hash (hash groupBy);
+- MinHash + LSH banding (shingle → minhash → band → bucket join);
+- n-gram Jaccard verification (exact, for candidate pairs);
+- SimHash (vectorized Arrow UDF + hamming-band join).
+
+Everything except SimHash compiles to built-in Catalyst expressions (md5,
+higher-order array functions) — no Python in the hot path. MinHash uses
+md5 instead of xxhash64 so the same computation is expressible in ANSI SQL
+for the DuckDB oracle; swap `_hash_fn` for xxhash64 when oracle parity is
+not needed (same plan shape, ~2x faster hashing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def tokens_of(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (empty-safe, distinct)."""
+    n = F.size(tokens)
+    # sequence(1, 0) counts DOWN in Spark, so short docs must short-circuit
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash(text: Column) -> Column:
+    """Normalized-content hash (md5 hex) — the exact-dup key.
+
+    NULL text hashes to a sentinel (distinct from empty text): a NULL key
+    would never match itself in the dedup semi-join and the row would be
+    silently dropped.
+    """
+    return F.coalesce(F.md5(normalize_text(text)), F.lit("__NULL_TEXT__"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized content hash.
+
+    One shuffle on the content hash; partial aggregation (min) is map-side
+    combined, so duplicate-heavy data shrinks before the exchange.
+    """
+    keyed = df.withColumn("__chash", content_hash(F.col(text_col)))
+    reps = keyed.groupBy("__chash").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, [ "__chash", id_col ], "left_semi").drop("__chash")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _hash_fn(s: Column, seed: int) -> Column:
+    """Seeded string hash with an ANSI-SQL-expressible definition."""
+    return F.md5(F.concat(s, F.lit(f"#{seed}")))
+
+
+def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
+    """array<string> of n minhash values (lexicographic min of seeded md5).
+
+    min(md5(shingle || '#i')) is a valid minwise hash family over the
+    shingle set; string-min keeps it expressible in DuckDB SQL for the
+    oracle. Empty shingle sets map to a sentinel so they never collide
+    with real content.
+    """
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(sh, lambda x, i=i: _hash_fn(x, i))),
+                F.lit(f"EMPTY#{i}"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<string> of band bucket keys: md5 over each signature slice."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Plan shape: one narrow projection computing signature+bands, an explode
+    (bands per row, constant fan-out), a shuffle on the band key, and a
+    self-join *within buckets only* — never an all-pairs crossJoin. Bucket
+    skew (a degenerate bucket holding half the table) is the risk at scale;
+    callers cap bucket width via `max_bucket` in `_pairs_within_buckets`.
+    """
+    rows_per_band = n_hashes // bands
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        lsh_band_keys(
+            minhash_signature(shingles(tokens_of(F.col(text_col)), shingle_k), n_hashes),
+            bands,
+            rows_per_band,
+        ).alias("bands"),
+    )
+    exploded = keyed.select("id", F.explode("bands").alias("band"))
+    return _pairs_within_buckets(exploded, "band")
+
+
+def _pairs_within_buckets(df: DataFrame, bucket_col: str, max_bucket: int = 200) -> DataFrame:
+    """Distinct (id_a < id_b) pairs co-occurring in a bucket.
+
+    Buckets wider than `max_bucket` are dropped (degenerate content like
+    empty docs) — the standard LSH guardrail; at 100 TB an unbounded bucket
+    would quadratically explode the join.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(bucket_col).agg(F.count("*").alias("__n"))
+    bounded = df.join(
+        F.broadcast(counts.filter(F.col("__n") <= max_bucket).select(bucket_col)),
+        bucket_col,
+        "left_semi",
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(b, on=bucket_col)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays (0.0 for both-empty)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_near_dups(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Filter candidate pairs by exact n-gram Jaccard ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens_of(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized Arrow UDF — bit-vote accumulation is not expressible
+# as a sane Catalyst expression)
+# ---------------------------------------------------------------------------
+
+def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document + 4×16-bit band keys for hamming-LSH.
+
+    Vectorized over Arrow batches with numpy bit-ops; per-row Python is
+    limited to tokenization (the same boundary a real tokenizer has).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for row, t in enumerate(texts.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash_str64(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            code = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                code |= np.uint64(1) << np.uint64(b)
+            out[row] = code
+        return pd.Series(out.view(np.int64))
+
+    coded = df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    for band in range(4):
+        coded = coded.withColumn(
+            f"band_{band}", F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(0xFFFF)
+        )
+    return coded
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (process-stable, unlike
+    Python's builtin hash)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of 4 16-bit bands
+    (pigeonhole: hamming ≤ 3 ⇒ some band identical), verified by exact
+    popcount hamming distance."""
+    coded = simhash_codes(df, id_col, text_col)
+    cands = None
+    for band in range(4):
+        part = coded.select("id", "simhash", F.col(f"band_{band}").alias("bucket"), F.lit(band).alias("band"))
+        keyed = part.select("id", "simhash", F.concat_ws(":", "band", "bucket").alias("bucket"))
+        cands = keyed if cands is None else cands.unionByName(keyed)
+    a = cands.alias("a")
+    b = cands.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
