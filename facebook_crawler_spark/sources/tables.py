@@ -1,0 +1,90 @@
+"""Ledgered parquet tables — the Iceberg-semantics storage shim (SURVEY.md R1).
+
+No Iceberg runtime jar ships with this container's PySpark, so this shim
+preserves exactly the Iceberg properties the engine relies on and nothing
+more:
+
+- **atomic commits**: a commit = write data files to a fresh directory,
+  then atomically rename a version manifest into place. Readers either see
+  the whole commit or none of it; a killed writer leaves only orphan data
+  dirs that no manifest references.
+- **snapshot ids**: each commit bumps an integer version; `read(version=)`
+  is time travel.
+- **append / overwrite** terms match Iceberg's.
+
+On a real cluster this file is replaced by `df.writeTo("cat.db.t")` with an
+Iceberg catalog; every call site goes through this API so the swap is
+mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    def __init__(self, path: str):
+        self.path = path
+        self._commits = os.path.join(path, "_commits")
+        os.makedirs(self._commits, exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._commits, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(f[1:9]) for f in os.listdir(self._commits) if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _read_manifest(self, version: int) -> list[str]:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)["data_dirs"]
+
+    def _commit(self, data_dirs: list[str]) -> int:
+        version = self.current_version() + 1
+        tmp = os.path.join(self._commits, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "data_dirs": data_dirs}, fh)
+        os.rename(tmp, self._manifest_path(version))  # the atomic commit point
+        return version
+
+    # -- write --------------------------------------------------------------
+    def _write_data(self, df: DataFrame) -> str:
+        d = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    def append(self, df: DataFrame) -> int:
+        new_dir = self._write_data(df)
+        prev = self._read_manifest(self.current_version()) if self.current_version() else []
+        return self._commit(prev + [new_dir])
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit([self._write_data(df)])
+
+    def init_empty(self, df_schema_source: DataFrame) -> int:
+        """Commit an empty snapshot with the given schema."""
+        return self.overwrite(df_schema_source.limit(0))
+
+    # -- read ---------------------------------------------------------------
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"table {self.path} has no commits")
+        dirs = self._read_manifest(v)
+        if not dirs:
+            raise FileNotFoundError(f"table {self.path} v{v} is empty-manifest")
+        return spark.read.parquet(*dirs)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

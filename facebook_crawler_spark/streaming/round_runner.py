@@ -1,0 +1,225 @@
+"""The micro-batch crawl engine: seed → rounds of (schedule → fetch →
+commit) with ACID checkpoints and per-partition lineage (SURVEY.md §3, M4-M7).
+
+Each round is the declarative analog of the reference's sequential loops:
+
+reference (crawlers/details_crawler.py:25-110)      engine
+-----------------------------------------------    ---------------------------
+Redis remaining-work list                            frontier ∖ fetched (anti-join,
+                                                     bloom-prefiltered)
+chunk of 50 per proxy                                per-host budget rank (window)
+page.goto + parse                                    frontier ⋈ images (the
+                                                     synthetic fetch, per north_rule)
+proxy ban counter / rotation                         host quarantine state table
+rewrite Redis after every item                       one ACID commit per round with
+                                                     per-partition lineage rows
+
+Determinism contract (north_rule): crawl order is a pure function of the
+persisted seed ranks + politeness budget — never of partition iteration
+order — so the same seed list always yields the same (round, host,
+host_rank) order and URL-seen set as the single-node reference simulator
+(facebook_crawler_spark.sim.oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from facebook_crawler_spark.functions.urls import canonicalize_urls, url_hash
+from facebook_crawler_spark.sources.tables import Table
+from facebook_crawler_spark.streaming import politeness
+from facebook_crawler_spark.streaming.seenset import build_bloom, split_by_bloom
+
+N_LINEAGE_BUCKETS = 64
+
+
+def _error_expr(round_no: int, permille: int):
+    """Deterministic fetch-failure injection: pure modular arithmetic on
+    (url_hash, round) so the Python simulator reproduces it exactly (no
+    engine-specific hash)."""
+    base = F.pmod(F.col("url_hash"), F.lit(1_000_000_007))
+    return F.pmod(base + round_no * 2_654_435_761, F.lit(1000)) < permille
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        images: DataFrame,
+        hosts: DataFrame,
+        error_permille: int = 0,
+        use_bloom: bool = True,
+        bloom_bits: int = 1 << 20,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.images = images
+        self.hosts = hosts.cache()
+        self.error_permille = error_permille
+        self.use_bloom = use_bloom
+        self.bloom_bits = bloom_bits
+        self.frontier = Table(os.path.join(workdir, "frontier"))
+        self.fetched = Table(os.path.join(workdir, "fetched"))
+        self.host_state = Table(os.path.join(workdir, "host_state"))
+        self.ledger = Table(os.path.join(workdir, "round_ledger"))
+
+    # ------------------------------------------------------------------ seed
+    def seed(self, seeds: DataFrame) -> int:
+        """Canonicalize (Arrow UDF per north_star), hash, first-wins dedup,
+        salt, and commit the frontier. First-wins mirrors the reference
+        consuming its shuffled list in order: the earliest seed_rank for a
+        canonical URL defines its crawl position."""
+        canon = seeds.withColumn("canonical_url", canonicalize_urls(F.col("url"))).withColumn(
+            "url_hash", url_hash(F.col("canonical_url"))
+        )
+        w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc())
+        deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+        salted = deduped.join(
+            F.broadcast(self.hosts.select("host", "salt_factor")), "host", "left"
+        ).withColumn(
+            "host_salt",
+            F.pmod(F.col("url_hash"), F.coalesce(F.col("salt_factor"), F.lit(1))).cast("int"),
+        ).drop("salt_factor")
+        version = self.frontier.overwrite(
+            salted.select(
+                "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
+                "priority", "seed_rank", F.lit(0).alias("discovered_round"),
+            )
+        )
+        self.host_state.overwrite(
+            self.hosts.select(
+                "host", "token_rate", "ban_threshold",
+                F.lit(0).cast("int").alias("consecutive_errors"),
+                F.lit(False).alias("quarantined"),
+            )
+        )
+        return version
+
+    # --------------------------------------------------------------- resume
+    def committed_round(self) -> int:
+        if not self.ledger.exists():
+            return 0
+        df = self.ledger.read(self.spark)
+        row = df.agg(F.max("round").alias("m")).first()
+        return int(row.m) if row.m is not None else 0
+
+    # ---------------------------------------------------------------- round
+    def pending(self) -> DataFrame:
+        """frontier ∖ successfully-fetched, exact, bloom-accelerated."""
+        frontier = self.frontier.read(self.spark)
+        if not self.fetched.exists():
+            return frontier
+        seen = self.fetched.read(self.spark).filter(F.col("status") == "ok").select("url_hash")
+        if self.use_bloom:
+            bloom = build_bloom(seen, m_bits=self.bloom_bits)
+            unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
+            return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
+        return frontier.join(seen, "url_hash", "left_anti")
+
+    def run_round(self) -> dict[str, int]:
+        round_no = self.committed_round() + 1
+        state = self.host_state.read(self.spark)
+        budgets = state.filter(~F.col("quarantined")).select(
+            "host", F.col("token_rate").alias("budget")
+        )
+
+        candidates = politeness.robots_filter(self.pending(), self.hosts)
+        selected = politeness.budget_rank(candidates, budgets).cache()
+
+        # synthetic fetch (north_rule): frontier ⋈ images on image_id.
+        fetched = selected.join(self.images, "image_id", "left").withColumn(
+            "status",
+            F.when(_error_expr(round_no, self.error_permille), F.lit("blocked"))
+            .when(F.col("caption").isNull(), F.lit("missing"))
+            .otherwise(F.lit("ok")),
+        )
+        fetched = fetched.select(
+            "url_hash", "canonical_url", "host", "image_id",
+            F.lit(round_no).alias("fetch_round"),
+            F.col("host_rank").cast("long").alias("fetch_seq"),
+            "status",
+            F.when(F.col("status") == "ok", F.col("bytes")).alias("bytes"),
+            F.when(F.col("status") == "ok", F.col("caption")).alias("caption"),
+            F.when(F.col("status") == "ok", F.col("phash")).alias("phash"),
+            F.pmod(F.xxhash64("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int").alias("partition_id"),
+        ).cache()
+
+        # per-host outcome for the quarantine state machine
+        per_host = fetched.groupBy("host").agg(
+            F.count("*").alias("n_items"),
+            F.max(F.when(F.col("status") == "ok", F.col("fetch_seq"))).alias("last_ok"),
+        ).select(
+            "host",
+            "n_items",
+            (F.col("n_items") - F.coalesce(F.col("last_ok"), F.lit(0))).cast("int").alias("trailing_blocked"),
+            F.col("last_ok").isNotNull().alias("any_ok"),
+        )
+        new_state = politeness.update_host_state(state, per_host)
+
+        lineage = fetched.groupBy("partition_id").agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("fetched"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("errors"),
+            F.countDistinct("host").alias("hosts_touched"),
+        ).select(
+            F.lit(round_no).alias("round"), "partition_id", "scheduled", "fetched",
+            "errors", "hosts_touched", F.current_timestamp().alias("committed_at"),
+        )
+
+        n_sched = fetched.count()
+        n_ok = fetched.filter("status = 'ok'").count()
+
+        # Commit protocol (ST2): data first, ledger last. The ledger commit
+        # is the round barrier — a crash in between leaves data for a round
+        # the ledger doesn't know about, and the guard below makes the
+        # re-run skip the (byte-identical, deterministic) data append, so a
+        # resumed run converges to exactly the uninterrupted tables.
+        already_written = (
+            self.fetched.exists()
+            and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
+        )
+        if n_sched > 0 and not already_written:
+            self.fetched.append(fetched)
+            self.host_state.overwrite(new_state)
+        if n_sched > 0:
+            self.ledger.append(lineage)
+        else:
+            empty = self.spark.createDataFrame(
+                [(round_no, -1, 0, 0, 0, 0)],
+                "round int, partition_id int, scheduled bigint, fetched bigint, errors bigint, hosts_touched bigint",
+            ).withColumn("committed_at", F.current_timestamp())
+            self.ledger.append(empty)
+        selected.unpersist()
+        fetched.unpersist()
+        return {"round": round_no, "scheduled": n_sched, "fetched": n_ok}
+
+    def run(self, max_rounds: int = 1000) -> list[dict[str, int]]:
+        """Drive rounds until the frontier is drained (or only quarantined/
+        permanently-failing work remains)."""
+        stats = []
+        for _ in range(max_rounds):
+            s = self.run_round()
+            stats.append(s)
+            if s["scheduled"] == 0:
+                break
+        return stats
+
+    # ------------------------------------------------------------- outputs
+    def crawl_order(self) -> DataFrame:
+        """(round, host, url_hash, host_rank) of successful fetches — the
+        north_rule crawl-ordering artifact, compared against the simulator."""
+        return (
+            self.fetched.read(self.spark)
+            .filter(F.col("status") == "ok")
+            .select(
+                F.col("fetch_round").alias("round"), "host",
+                F.col("fetch_seq").alias("host_rank"), "url_hash",
+            )
+        )
+
+    def seen_set(self) -> DataFrame:
+        return self.fetched.read(self.spark).filter("status = 'ok'").select("url_hash").distinct()

@@ -1,0 +1,140 @@
+"""North-rule gates (BASELINE.json): the distributed engine reproduces the
+reference simulator's crawl ordering + URL-seen set under the same seed
+list and politeness budget; kill-resume converges to identical tables;
+fetched payloads satisfy the per-row invariants (PSNR ≥ 40 dB lossy,
+byte-exact captions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_crawler_spark.functions import images as img
+from facebook_crawler_spark.sim.oracle import simulate
+from facebook_crawler_spark.sources import synthetic as syn
+from facebook_crawler_spark.streaming.round_runner import CrawlEngine
+
+N_URLS = 3000
+N_IMAGES = 1200
+N_HOSTS = 20
+ERROR_PERMILLE = 30
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    images = syn.gen_images(spark, N_IMAGES, partitions=8).cache()
+    hosts = syn.gen_hosts(spark, N_HOSTS, token_rate=40, ban_threshold=15)
+    seeds = syn.gen_frontier_seeds(spark, N_URLS, n_images=N_IMAGES, n_hosts=N_HOSTS)
+    return images, hosts, seeds
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world, tmp_path_factory):
+    images, hosts, seeds = world
+    wd = str(tmp_path_factory.mktemp("engine"))
+    eng = CrawlEngine(spark, wd, images, hosts, error_permille=ERROR_PERMILLE)
+    eng.seed(seeds)
+    stats = eng.run(max_rounds=50)
+    return eng, stats
+
+
+def _sim_result(spark, eng, hosts):
+    frontier_rows = [r.asDict() for r in eng.frontier.read(spark).collect()]
+    host_rows = [r.asDict() for r in hosts.collect()]
+    return simulate(frontier_rows, host_rows, error_permille=ERROR_PERMILLE, max_rounds=50)
+
+
+def test_crawl_order_matches_simulator(spark, world, engine_run):
+    _, hosts, _ = world
+    eng, stats = engine_run
+    sim = _sim_result(spark, eng, hosts)
+
+    engine_order = {
+        (r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()
+    }
+    assert engine_order == set(sim.crawl_order)
+
+    engine_seen = {r.url_hash for r in eng.seen_set().collect()}
+    assert engine_seen == sim.seen
+    assert len(engine_seen) > 0
+
+
+def test_politeness_budget_respected(spark, engine_run):
+    eng, _ = engine_run
+    per_round_host = (
+        eng.fetched.read(spark)
+        .groupBy("fetch_round", "host")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    assert per_round_host.mx <= 40  # token_rate
+
+
+def test_ledger_lineage_consistent(spark, engine_run):
+    eng, stats = engine_run
+    ledger = eng.ledger.read(spark)
+    led = ledger.groupBy("round").agg(
+        F.sum("scheduled").alias("s"), F.sum("fetched").alias("f"), F.sum("errors").alias("e")
+    )
+    for row in led.collect():
+        assert row.s == row.f + row.e
+    # ledger totals equal the fetched table's rows
+    total_sched = ledger.agg(F.sum("scheduled")).first()[0]
+    assert total_sched == eng.fetched.read(spark).count()
+
+
+def test_fetch_payload_invariants(spark, engine_run):
+    """BASELINE.json input_hint: decoded-pixel PSNR ≥ 40dB (lossy) /
+    exactness (lossless) + byte-exact captions vs the recomputation oracle."""
+    eng, _ = engine_run
+    sample = eng.fetched.read(spark).filter("status = 'ok'").limit(40).collect()
+    assert sample
+    for r in sample:
+        idx = int(r.image_id.split("_")[1])
+        exp_bytes, w, h, fmt, exp_caption, _ = syn.image_row(idx)
+        assert r.caption == exp_caption  # byte-exact caption
+        got_fmt, got_arr = img.decode(bytes(r.bytes))
+        ref_arr = img.pixels_for(idx, w, h)
+        if got_fmt == "png":
+            np.testing.assert_array_equal(got_arr, ref_arr)
+        else:
+            assert img.psnr(ref_arr, got_arr) >= 40.0
+
+
+def test_resume_after_kill_is_identical(spark, world, engine_run, tmp_path_factory):
+    """ST2: kill after round k, resume, final tables equal the
+    uninterrupted run's."""
+    images, hosts, seeds = world
+    eng_full, _ = engine_run
+
+    wd = str(tmp_path_factory.mktemp("engine_killed"))
+    eng2 = CrawlEngine(spark, wd, images, hosts, error_permille=ERROR_PERMILLE)
+    eng2.seed(seeds)
+    for _ in range(3):
+        eng2.run_round()
+    # "kill": discard the driver object; a fresh engine resumes from tables
+    eng3 = CrawlEngine(spark, wd, images, hosts, error_permille=ERROR_PERMILLE)
+    assert eng3.committed_round() == 3
+    eng3.run(max_rounds=50)
+
+    full = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng_full.crawl_order().collect()}
+    resumed = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng3.crawl_order().collect()}
+    assert full == resumed
+    s1 = {r.url_hash for r in eng_full.seen_set().collect()}
+    s2 = {r.url_hash for r in eng3.seen_set().collect()}
+    assert s1 == s2
+
+
+def test_robots_never_fetched(spark, world, engine_run):
+    images, hosts, seeds = world
+    eng, _ = engine_run
+    from facebook_crawler_spark.functions.urls import path_of
+
+    fetched = eng.fetched.read(spark)
+    joined = fetched.join(F.broadcast(hosts.select("host", "robots_disallow")), "host")
+    violations = joined.filter(
+        F.exists(F.col("robots_disallow"), lambda d: path_of(F.col("canonical_url")).startswith(d))
+    )
+    assert violations.count() == 0
