@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode (what the driver runs): execute the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus a synthetic-frontier crawl throughput run,
+and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier": {...urls/sec...}}
+
+Scaling mode (`python bench.py --scaling`): re-invoke this script at
+local[8] and local[32] on the same inputs and write BENCH/BASELINE.md with
+throughput at both parallelism levels + efficiency = (T32/T8)/4 — the
+sandbox evidence protocol for the north_rule's N→4N criterion (no real
+cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# frontier bench sizing: fixed work, independent of sf tables
+FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "300000"))
+FRONTIER_IMAGES = int(os.environ.get("BENCH_FRONTIER_IMAGES", "60000"))
+FRONTIER_HOSTS = 100
+TOKEN_RATE = 1500
+
+BENCH_QUERIES = [
+    "delta_anti_join",
+    "dedup_last_wins",
+    "per_key_max",
+    "grouped_metrics",
+    "budget_rank",
+    "month_rollup",
+    "url_canonicalize",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lang_id",
+    "text_stats",
+]
+
+
+def _spark():
+    from facebook_crawler_spark.session import get_spark
+
+    return get_spark(
+        app_name="fcs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # materialize the full plan
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def run_frontier(spark) -> dict:
+    """Headline: frontier URLs scheduled+fetched per second."""
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine
+
+    images = syn.gen_images(spark, FRONTIER_IMAGES, partitions=CPUS * 2)
+    hosts = syn.gen_hosts(spark, FRONTIER_HOSTS, token_rate=TOKEN_RATE)
+    seeds = syn.gen_frontier_seeds(
+        spark, FRONTIER_URLS, n_images=FRONTIER_IMAGES, n_hosts=FRONTIER_HOSTS
+    )
+    wd = tempfile.mkdtemp(prefix="fcs-bench-frontier-")
+    try:
+        eng = CrawlEngine(spark, wd, images, hosts, error_permille=0, bloom_bits=1 << 23)
+        # materialize inputs before the clock starts (generation is not fetch)
+        images = images.cache()
+        images.count()
+        t_seed0 = time.perf_counter()
+        eng.seed(seeds)
+        t_seed = time.perf_counter() - t_seed0
+        t0 = time.perf_counter()
+        stats = eng.run(max_rounds=200)
+        dt = time.perf_counter() - t0
+        total_sched = sum(s["scheduled"] for s in stats)
+        total_fetch = sum(s["fetched"] for s in stats)
+        return {
+            "urls": FRONTIER_URLS,
+            "seed_sec": round(t_seed, 3),
+            "crawl_sec": round(dt, 3),
+            "rounds": len(stats),
+            "scheduled": total_sched,
+            "fetched": total_fetch,
+            "urls_per_sec": round(total_sched / dt, 1) if dt > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> dict:
+    spark = _spark()
+    print(f"bench: sf_dir={SF_DIR} cpus={CPUS}", file=sys.stderr)
+    queries = run_queries(spark)
+    frontier = run_frontier(spark)
+    total = round(sum(queries.values()) + frontier["crawl_sec"], 3)
+    result = {
+        "metric": "headline queries + synthetic-frontier crawl wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "frontier": frontier,
+    }
+    return result
+
+
+def scaling() -> None:
+    """Run the frontier bench at local[8] and local[32]; write BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="frontier-only")
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"local[{cpus}]: {results[cpus]['frontier']}", file=sys.stderr)
+    t8 = results[8]["frontier"]["urls_per_sec"]
+    t32 = results[32]["frontier"]["urls_per_sec"]
+    eff = round((t32 / t8) / 4.0, 3) if t8 else 0.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            "# BENCH — frontier throughput & scaling efficiency\n\n"
+            "Sandbox evidence protocol for the north_rule N→4N criterion (no real\n"
+            "cluster available): the identical frontier crawl job run at two\n"
+            "parallelism levels on the same input.\n\n"
+            f"| parallelism | urls/sec | crawl sec | rounds |\n|---|---|---|---|\n"
+            f"| local[8]  | {t8} | {results[8]['frontier']['crawl_sec']} | {results[8]['frontier']['rounds']} |\n"
+            f"| local[32] | {t32} | {results[32]['frontier']['crawl_sec']} | {results[32]['frontier']['rounds']} |\n\n"
+            f"- frontier size: {results[8]['frontier']['urls']} URLs, scheduled {results[8]['frontier']['scheduled']}\n"
+            f"- speedup local[8]→local[32]: {round(t32 / t8, 2) if t8 else 'n/a'}x on 4x cores\n"
+            f"- **scaling efficiency = (T32/T8)/4 = {eff}** (target ≥ 0.8)\n"
+        )
+    print(json.dumps({"t8": t8, "t32": t32, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("BENCH_MODE") == "frontier-only":
+        spark = _spark()
+        print(json.dumps({"frontier": run_frontier(spark)}))
+    else:
+        print(json.dumps(main()))

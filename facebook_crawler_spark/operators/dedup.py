@@ -132,41 +132,69 @@ def minhash_lsh_candidates(
     callers cap bucket width via `max_bucket` in `_pairs_within_buckets`.
     """
     rows_per_band = n_hashes // bands
-    keyed = df.select(
+    # Aggregation-shaped minhash (the scale shape): explode shingles, hash
+    # each with n flat md5 columns, min-aggregate per doc. Flat expressions
+    # stay inside whole-stage codegen (the nested-lambda array form drops
+    # Generate into interpreted evaluation — measured 50x slower), and the
+    # min() partial-aggregates map-side, so the shuffle carries one row per
+    # doc, not one per shingle.
+    sh_df = df.select(
         F.col(id_col).alias("id"),
-        lsh_band_keys(
-            minhash_signature(shingles(tokens_of(F.col(text_col)), shingle_k), n_hashes),
-            bands,
-            rows_per_band,
-        ).alias("bands"),
+        shingles(tokens_of(F.col(text_col)), shingle_k).alias("__sh"),
     )
-    exploded = keyed.select("id", F.explode("bands").alias("band"))
+    ex = sh_df.select("id", F.explode_outer("__sh").alias("__shingle"))
+    hashed = ex.select(
+        "id", *[_hash_fn(F.col("__shingle"), i).alias(f"__h{i}") for i in range(n_hashes)]
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.coalesce(F.min(f"__h{i}"), F.lit(f"EMPTY#{i}")).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
     return _pairs_within_buckets(exploded, "band")
 
 
 def _pairs_within_buckets(df: DataFrame, bucket_col: str, max_bucket: int = 200) -> DataFrame:
     """Distinct (id_a < id_b) pairs co-occurring in a bucket.
 
-    Buckets wider than `max_bucket` are dropped (degenerate content like
-    empty docs) — the standard LSH guardrail; at 100 TB an unbounded bucket
-    would quadratically explode the join.
-    """
-    from pyspark.sql import Window
+    One shuffle: groupBy(bucket) gathers each bucket's ids, pair expansion
+    happens inside the grouped row (buckets are capped, so the expansion is
+    ≤ max_bucket²/2 per bucket), then a distinct de-dups across bands. A
+    bucketed self-join would re-evaluate the (expensive) upstream lineage
+    once per side plus once for the width guardrail — three recomputes this
+    formulation avoids.
 
-    counts = df.groupBy(bucket_col).agg(F.count("*").alias("__n"))
-    bounded = df.join(
-        F.broadcast(counts.filter(F.col("__n") <= max_bucket).select(bucket_col)),
-        bucket_col,
-        "left_semi",
+    Buckets wider than `max_bucket` are dropped (degenerate content like
+    boilerplate) — the standard LSH guardrail; at 100 TB an unbounded
+    bucket would quadratically explode any formulation.
+    """
+    grouped = df.groupBy(bucket_col).agg(F.collect_set("id").alias("__ids"))
+    bounded = grouped.filter(F.size("__ids") <= max_bucket).select(
+        F.array_sort("__ids").alias("__ids")
     )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    return (
-        a.join(b, on=bucket_col)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -246,26 +274,44 @@ def hash_str64(s: str) -> int:
     return h
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, max_bucket: int = 200
+) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of 4 16-bit bands
     (pigeonhole: hamming ≤ 3 ⇒ some band identical), verified by exact
-    popcount hamming distance."""
+    popcount hamming distance.
+
+    Same one-shuffle grouped-pair shape as MinHash-LSH (collect per bucket,
+    expand pairs in-row, cap bucket width) — no self-join, no lineage
+    recompute, no quadratic blowup on degenerate buckets.
+    """
     coded = simhash_codes(df, id_col, text_col)
-    cands = None
-    for band in range(4):
-        part = coded.select("id", "simhash", F.col(f"band_{band}").alias("bucket"), F.lit(band).alias("band"))
-        keyed = part.select("id", "simhash", F.concat_ws(":", "band", "bucket").alias("bucket"))
-        cands = keyed if cands is None else cands.unionByName(keyed)
-    a = cands.alias("a")
-    b = cands.alias("b")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .distinct()
+    exploded = coded.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.concat_ws(":", F.lit(b), F.col(f"band_{b}")) for b in range(4)])
+        ).alias("bucket"),
     )
+    grouped = exploded.groupBy("bucket").agg(
+        F.collect_set(F.struct("id", "simhash")).alias("__m")
+    )
+    bounded = grouped.filter(F.size("__m") <= max_bucket).select(F.array_sort("__m").alias("__m"))
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__m"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__m"), i + 2, F.size(F.col("__m"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
     return pairs.filter(F.col("hamming") <= max_hamming)

@@ -18,11 +18,13 @@ from pyspark.sql import functions as F
 
 from facebook_crawler_spark.functions.urls import path_of
 
-# Deterministic crawl order within a host: priority band first (the
-# reference's price-band loop), then the persisted shuffle order
-# (reference crawlers/scroll_crawler.py:16-19,48,61), url_hash as the
-# total-order tiebreak.
-HOST_ORDER = [F.col("priority").asc(), F.col("seed_rank").asc(), F.col("url_hash").asc()]
+def host_order() -> list:
+    """Deterministic crawl order within a host: priority band first (the
+    reference's price-band loop), then the persisted shuffle order
+    (reference crawlers/scroll_crawler.py:16-19,48,61), url_hash as the
+    total-order tiebreak. (Built lazily: Column construction needs an
+    active SparkContext.)"""
+    return [F.col("priority").asc(), F.col("seed_rank").asc(), F.col("url_hash").asc()]
 
 
 def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
@@ -51,11 +53,11 @@ def budget_rank(pending: DataFrame, host_budgets: DataFrame) -> DataFrame:
     skewed shuffle.
     """
     p = pending.join(F.broadcast(host_budgets.select("host", "budget")), "host")
-    w1 = Window.partitionBy("host", "host_salt").orderBy(*HOST_ORDER)
+    w1 = Window.partitionBy("host", "host_salt").orderBy(*host_order())
     stage1 = p.withColumn("__r1", F.row_number().over(w1)).filter(
         F.col("__r1") <= F.col("budget")
     )
-    w2 = Window.partitionBy("host").orderBy(*HOST_ORDER)
+    w2 = Window.partitionBy("host").orderBy(*host_order())
     return (
         stage1.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= F.col("budget"))

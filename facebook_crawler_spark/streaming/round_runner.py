@@ -54,6 +54,8 @@ class CrawlEngine:
         error_permille: int = 0,
         use_bloom: bool = True,
         bloom_bits: int = 1 << 20,
+        bloom_min_seen: int = 100_000,
+        cache_frontier: bool = True,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -62,10 +64,21 @@ class CrawlEngine:
         self.error_permille = error_permille
         self.use_bloom = use_bloom
         self.bloom_bits = bloom_bits
+        # below this seen-set size the exact anti-join is cheaper than a
+        # bloom build+broadcast round trip; above it the bloom keeps the
+        # anti-join input to the maybe-seen sliver (M5 scale path)
+        self.bloom_min_seen = bloom_min_seen
+        self.cache_frontier = cache_frontier
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
         self.ledger = Table(os.path.join(workdir, "round_ledger"))
+        # driver-side caches — pure accelerators; all state of record lives
+        # in the tables, so a fresh engine (resume) reconstructs them
+        self._round: int | None = None
+        self._seen_rows: int | None = None
+        self._frontier_df: DataFrame | None = None
+        self._fresh_process = True  # first round after (re)start re-checks idempotency
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: DataFrame) -> int:
@@ -101,20 +114,40 @@ class CrawlEngine:
 
     # --------------------------------------------------------------- resume
     def committed_round(self) -> int:
+        if self._round is not None:
+            return self._round
         if not self.ledger.exists():
+            self._round = 0
+            self._seen_rows = 0
             return 0
         df = self.ledger.read(self.spark)
-        row = df.agg(F.max("round").alias("m")).first()
-        return int(row.m) if row.m is not None else 0
+        row = df.agg(F.max("round").alias("m"), F.sum("fetched").alias("f")).first()
+        self._round = int(row.m) if row.m is not None else 0
+        self._seen_rows = int(row.f) if row.f is not None else 0
+        return self._round
 
     # ---------------------------------------------------------------- round
+    def _frontier(self) -> DataFrame:
+        """The (static-after-seed) frontier; persisted across rounds when
+        it fits — at 10^10 rows MEMORY_AND_DISK spills gracefully, and a
+        cluster deployment would lean on the parquet scan instead."""
+        if self._frontier_df is None:
+            df = self.frontier.read(self.spark)
+            if self.cache_frontier:
+                from pyspark.storagelevel import StorageLevel
+
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._frontier_df = df
+        return self._frontier_df
+
     def pending(self) -> DataFrame:
-        """frontier ∖ successfully-fetched, exact, bloom-accelerated."""
-        frontier = self.frontier.read(self.spark)
+        """frontier ∖ successfully-fetched, exact, bloom-accelerated once
+        the seen set is large enough for the bloom to pay for itself."""
+        frontier = self._frontier()
         if not self.fetched.exists():
             return frontier
         seen = self.fetched.read(self.spark).filter(F.col("status") == "ok").select("url_hash")
-        if self.use_bloom:
+        if self.use_bloom and (self._seen_rows or 0) >= self.bloom_min_seen:
             bloom = build_bloom(seen, m_bits=self.bloom_bits)
             unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
             return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
@@ -170,18 +203,26 @@ class CrawlEngine:
             "errors", "hosts_touched", F.current_timestamp().alias("committed_at"),
         )
 
-        n_sched = fetched.count()
-        n_ok = fetched.filter("status = 'ok'").count()
+        agg = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        ).first()
+        n_sched = int(agg.n)
+        n_ok = int(agg.ok) if agg.ok is not None else 0
 
         # Commit protocol (ST2): data first, ledger last. The ledger commit
         # is the round barrier — a crash in between leaves data for a round
         # the ledger doesn't know about, and the guard below makes the
         # re-run skip the (byte-identical, deterministic) data append, so a
-        # resumed run converges to exactly the uninterrupted tables.
+        # resumed run converges to exactly the uninterrupted tables. Only a
+        # freshly (re)started process can be in that half-committed state,
+        # so steady-state rounds skip the probe.
         already_written = (
-            self.fetched.exists()
+            self._fresh_process
+            and self.fetched.exists()
             and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
         )
+        self._fresh_process = False
         if n_sched > 0 and not already_written:
             self.fetched.append(fetched)
             self.host_state.overwrite(new_state)
@@ -195,6 +236,8 @@ class CrawlEngine:
             self.ledger.append(empty)
         selected.unpersist()
         fetched.unpersist()
+        self._round = round_no
+        self._seen_rows = (self._seen_rows or 0) + n_ok
         return {"round": round_no, "scheduled": n_sched, "fetched": n_ok}
 
     def run(self, max_rounds: int = 1000) -> list[dict[str, int]]:
