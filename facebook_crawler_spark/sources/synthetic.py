@@ -48,22 +48,28 @@ def caption_for(index: int) -> str:
     return " ".join(words)
 
 
-def image_row(index: int) -> tuple[bytes, int, int, str, str, int]:
-    """Recompute the full payload for synthetic image #index (oracle path)."""
-    w = 32 + (index * 2246822519) % 97
-    h = 32 + (index * 3266489917) % 97
+def image_row(index: int, dim_span: int = 97) -> tuple[bytes, int, int, str, str, int]:
+    """Recompute the full payload for synthetic image #index (oracle path).
+
+    `dim_span` bounds w,h to 32..32+dim_span-1 — the bench uses a small
+    span so throughput measures scheduling+fetch, not raw disk bandwidth;
+    tests use the default (payloads up to 128x128)."""
+    w = 32 + (index * 2246822519) % dim_span
+    h = 32 + (index * 3266489917) % dim_span
     fmt = "png" if (index * 668265263) % 10 < 7 else "jpeg"
     arr = img.pixels_for(index, w, h)
     return img.encode(arr, fmt), w, h, fmt, caption_for(index), img.phash64(arr)
 
 
-def gen_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def gen_images(
+    spark: SparkSession, n: int, partitions: int | None = None, dim_span: int = 97
+) -> DataFrame:
     """The `images` payload table (image_id, bytes, w, h, fmt, caption, phash)."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [image_row(int(i)) for i in pdf["id"]]
+            rows = [image_row(int(i), dim_span) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "image_id": [f"img_{int(i):012d}" for i in pdf["id"]],

@@ -79,6 +79,10 @@ class CrawlEngine:
         self._seen_rows: int | None = None
         self._frontier_df: DataFrame | None = None
         self._fresh_process = True  # first round after (re)start re-checks idempotency
+        # accumulated ok-url_hash set, unioned incrementally instead of
+        # re-reading the growing fetched table every round (O(R²) rows read
+        # over R rounds otherwise); lineage truncated periodically
+        self._seen_df: DataFrame | None = None
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: DataFrame) -> int:
@@ -140,13 +144,38 @@ class CrawlEngine:
             self._frontier_df = df
         return self._frontier_df
 
+    def _seen(self) -> DataFrame | None:
+        """The ok-url_hash set. State of record is the fetched table; the
+        in-memory handle is an accelerator that a resumed engine rebuilds
+        from the table."""
+        if self._seen_df is None and self.fetched.exists():
+            self._seen_df = (
+                self.fetched.read(self.spark).filter(F.col("status") == "ok").select("url_hash")
+            )
+        return self._seen_df
+
+    def _accumulate_seen(self, new_ok_hashes: DataFrame) -> None:
+        base = self._seen()
+        grown = new_ok_hashes if base is None else base.unionByName(new_ok_hashes)
+        # localCheckpoint EVERY round: it both materializes the union (while
+        # this round's `fetched` is still cached) and truncates the logical
+        # plan. Mere persist() is not enough — each round's pending plan
+        # would embed the previous round's entire tree and the plan grows
+        # exponentially (observed: driver OOM stringifying the plan by
+        # round ~20). On a cluster, swap for reliable checkpoint(dir) —
+        # localCheckpoint blocks die with their executor.
+        grown = grown.localCheckpoint(eager=True)
+        if base is not None:
+            base.unpersist()
+        self._seen_df = grown
+
     def pending(self) -> DataFrame:
         """frontier ∖ successfully-fetched, exact, bloom-accelerated once
         the seen set is large enough for the bloom to pay for itself."""
         frontier = self._frontier()
-        if not self.fetched.exists():
+        seen = self._seen()
+        if seen is None:
             return frontier
-        seen = self.fetched.read(self.spark).filter(F.col("status") == "ok").select("url_hash")
         if self.use_bloom and (self._seen_rows or 0) >= self.bloom_min_seen:
             bloom = build_bloom(seen, m_bits=self.bloom_bits)
             unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
@@ -234,6 +263,12 @@ class CrawlEngine:
                 "round int, partition_id int, scheduled bigint, fetched bigint, errors bigint, hosts_touched bigint",
             ).withColumn("committed_at", F.current_timestamp())
             self.ledger.append(empty)
+        if n_ok > 0:
+            # accumulate while this round's `fetched` is still cached; the
+            # union is materialized inside _accumulate_seen before the
+            # cache below is released
+            new_hashes = fetched.filter(F.col("status") == "ok").select("url_hash")
+            self._accumulate_seen(new_hashes)
         selected.unpersist()
         fetched.unpersist()
         self._round = round_no
