@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -79,6 +80,9 @@ FETCHED = StructType(
         StructField("bytes", BinaryType(), True),
         StructField("caption", StringType(), True),
         StructField("phash", LongType(), True),
+        # per-row verification verdict (input_hint invariants: decoded-pixel
+        # PSNR/exactness + byte-exact caption + phash), computed in-round
+        StructField("verified", BooleanType(), True),
     ]
 )
 

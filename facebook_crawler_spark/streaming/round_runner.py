@@ -36,6 +36,48 @@ from facebook_crawler_spark.streaming.seenset import build_bloom, split_by_bloom
 N_LINEAGE_BUCKETS = 64
 
 
+def _verify_udf():
+    """Arrow-batched payload verifier (BASELINE.json input_hint): decode the
+    fetched bytes, recompute the oracle pixels from the image id, check
+    PSNR ≥ 40 dB (lossy) / exactness (lossless), phash match, and
+    byte-exact caption. Runs inside the fetch round so every committed row
+    carries its verification verdict."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from facebook_crawler_spark.functions import images as img  # noqa: PLC0415
+    from facebook_crawler_spark.sources.synthetic import caption_for  # noqa: PLC0415
+
+    # no type annotations: `from __future__ import annotations` turns them
+    # into strings pyspark can't resolve against local imports
+    def verify(image_id, data, caption, phash_str):
+        # phash arrives as a STRING: a nullable int64 batch converts to
+        # float64 in pandas, silently corrupting 63-bit hash values
+        out = np.zeros(len(image_id), dtype=object)
+        for i, (iid, buf, cap, ph) in enumerate(zip(image_id, data, caption, phash_str)):
+            if buf is None or ph is None:
+                out[i] = None
+                continue
+            try:
+                idx = int(iid.split("_")[1])
+                fmt, arr = img.decode(bytes(buf))
+                ref = img.pixels_for(idx, arr.shape[1], arr.shape[0])
+                pixels_ok = (
+                    np.array_equal(arr, ref) if fmt == "png" else img.psnr(ref, arr) >= 40.0
+                )
+                # phash: exact for lossless; lossy decode may flip borderline
+                # bits (hamming ≤ 2 observed bound for the q~85 codec)
+                ham = bin(img.phash64(arr) ^ int(ph)).count("1")
+                phash_ok = ham == 0 if fmt == "png" else ham <= 2
+                out[i] = bool(pixels_ok and cap == caption_for(idx) and phash_ok)
+            except Exception:
+                out[i] = False
+        return pd.Series(out)
+
+    return pandas_udf(verify, "boolean")
+
+
 def _error_expr(round_no: int, permille: int):
     """Deterministic fetch-failure injection: pure modular arithmetic on
     (url_hash, round) so the Python simulator reproduces it exactly (no
@@ -56,6 +98,7 @@ class CrawlEngine:
         bloom_bits: int = 1 << 20,
         bloom_min_seen: int = 100_000,
         cache_frontier: bool = True,
+        verify_payloads: bool = True,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -69,6 +112,7 @@ class CrawlEngine:
         # anti-join input to the maybe-seen sliver (M5 scale path)
         self.bloom_min_seen = bloom_min_seen
         self.cache_frontier = cache_frontier
+        self.verify_payloads = verify_payloads
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -208,7 +252,19 @@ class CrawlEngine:
             F.when(F.col("status") == "ok", F.col("caption")).alias("caption"),
             F.when(F.col("status") == "ok", F.col("phash")).alias("phash"),
             F.pmod(F.xxhash64("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int").alias("partition_id"),
-        ).cache()
+        )
+        if self.verify_payloads:
+            verify = _verify_udf()
+            fetched = fetched.withColumn(
+                "verified",
+                verify(
+                    F.col("image_id"), F.col("bytes"), F.col("caption"),
+                    F.col("phash").cast("string"),
+                ),
+            )
+        else:
+            fetched = fetched.withColumn("verified", F.lit(None).cast("boolean"))
+        fetched = fetched.cache()
 
         # per-host outcome for the quarantine state machine
         per_host = fetched.groupBy("host").agg(

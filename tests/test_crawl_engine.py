@@ -89,6 +89,9 @@ def test_fetch_payload_invariants(spark, engine_run):
     """BASELINE.json input_hint: decoded-pixel PSNR ≥ 40dB (lossy) /
     exactness (lossless) + byte-exact captions vs the recomputation oracle."""
     eng, _ = engine_run
+    # the in-round verifier must have passed every ok row
+    bad = eng.fetched.read(spark).filter("status = 'ok' AND verified IS NOT true").count()
+    assert bad == 0
     sample = eng.fetched.read(spark).filter("status = 'ok'").limit(40).collect()
     assert sample
     for r in sample:
