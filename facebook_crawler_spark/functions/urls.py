@@ -98,8 +98,39 @@ def canonicalize_urls(url: Column) -> Column:
 
 
 def url_hash(canonical: Column) -> Column:
-    """64-bit stable hash of the canonical URL (seen-set / bucketing key)."""
+    """64-bit stable hash of the canonical URL (generic bucketing key,
+    JVM-side)."""
     return F.xxhash64(canonical)
+
+
+def fnv64_signed(s: str) -> int:
+    """FNV-1a 64-bit of a string as SIGNED int64 — the frontier's url_hash.
+
+    Chosen over xxhash64 for the frontier because the reference simulator
+    (sim/oracle.py) must reproduce every hash-derived decision (error
+    injection, crawl-order tiebreaks, dedup keys) in pure Python with no
+    JVM: FNV-1a is 6 lines in any language. Cost: ~1µs per URL, paid once
+    at seed/discovery time inside the canonicalization Arrow batch.
+    """
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_fnv_udf = None
+
+
+def frontier_url_hash(canonical: Column) -> Column:
+    """Arrow-batched FNV-1a url_hash of the canonical URL column."""
+    global _fnv_udf
+    if _fnv_udf is None:
+
+        def batch(s: pd.Series) -> pd.Series:
+            return s.map(fnv64_signed).astype("int64")
+
+        _fnv_udf = pandas_udf(batch, "long")
+    return _fnv_udf(canonical)
 
 
 def host_of(url: Column) -> Column:

@@ -48,15 +48,46 @@ class SimResult:
     rounds: int = 0
 
 
+def _children_of(parent_hash: int, parent_rank: int, priority: int, round_no: int, d: dict) -> list[dict]:
+    """Deterministic outlinks of one successful fetch — the pure-Python twin
+    of round_runner._expand_discoveries (same modular arithmetic; the child
+    URL is constructed already-canonical, so url_hash = fnv64 directly)."""
+    from facebook_crawler_spark.functions.urls import fnv64_signed
+
+    base = parent_hash % 1_000_000_007
+    out = []
+    for j in range(1, base % d["max_out"] + 1):
+        t = (base * (j + 1) + round_no * 1007) % d["n_images"]
+        if (t * 2_654_435_761) % 100 < d["hot_pct"]:
+            host = d["hot_host"]
+        else:
+            host = f"host-{(t * 97) % (d['n_hosts'] - 1):03d}.example.test"
+        url = f"https://{host}/item/img_{t:012d}?disc={j}"
+        out.append(
+            {
+                "url_hash": fnv64_signed(url),
+                "canonical_url": url,
+                "host": host,
+                "priority": priority,
+                "seed_rank": ((parent_rank % (1 << 40)) * 31 + j * 7 + round_no) % (1 << 40),
+                "discovered_round": round_no,
+            }
+        )
+    return out
+
+
 def simulate(
     frontier_rows: list[dict],
     host_rows: list[dict],
     error_permille: int = 0,
     max_rounds: int = 1000,
+    discovery: dict | None = None,
 ) -> SimResult:
     """Replay the crawl. `frontier_rows` need keys url_hash, canonical_url,
     host, priority, seed_rank; `host_rows` need host, token_rate,
-    ban_threshold, robots_disallow."""
+    ban_threshold, robots_disallow. `discovery` (optional) mirrors
+    round_runner.DiscoveryConfig as a dict with keys n_images, n_hosts,
+    hot_pct, hot_host, max_out."""
     hosts = {
         h["host"]: HostState(
             token_rate=h["token_rate"],
@@ -76,30 +107,38 @@ def simulate(
 
     # first-wins dedup by canonical hash (reference dict-insert semantics,
     # earliest position in the shuffled list wins) — mirrors CrawlEngine.seed
-    best: dict[int, dict] = {}
+    frontier: dict[int, dict] = {}
     for r in frontier_rows:
-        cur = best.get(r["url_hash"])
+        r = dict(r)
+        r.setdefault("discovered_round", 0)
+        cur = frontier.get(r["url_hash"])
         if cur is None or r["seed_rank"] < cur["seed_rank"]:
-            best[r["url_hash"]] = r
-
-    # reference crawl order within a host: priority band, then the persisted
-    # shuffled order, url_hash as total-order tiebreak
-    work: dict[str, list[dict]] = {}
-    for row in sorted(
-        (r for r in best.values() if allowed(r)),
-        key=lambda r: (r["priority"], r["seed_rank"], r["url_hash"]),
-    ):
-        work.setdefault(row["host"], []).append(row)
+            frontier[r["url_hash"]] = r
 
     res = SimResult()
     for round_no in range(1, max_rounds + 1):
+        # per-round work lists: reference crawl order within a host is
+        # priority band, then the persisted shuffled order, url_hash as
+        # total-order tiebreak; children discovered in round r are eligible
+        # from round r+1 (mirrors run_round's discovered_round < round)
+        work: dict[str, list[dict]] = {}
+        for row in sorted(
+            (
+                r
+                for r in frontier.values()
+                if allowed(r) and r["url_hash"] not in res.seen and r["discovered_round"] < round_no
+            ),
+            key=lambda r: (r["priority"], r["seed_rank"], r["url_hash"]),
+        ):
+            work.setdefault(row["host"], []).append(row)
+
         scheduled = 0
-        for host in work:
+        round_children: list[dict] = []
+        for host, pending in work.items():
             hs = hosts.get(host) or HostState(token_rate=50, ban_threshold=20)
             hosts.setdefault(host, hs)
             if hs.quarantined:
                 continue
-            pending = [r for r in work[host] if r["url_hash"] not in res.seen]
             chunk = pending[: hs.token_rate]
             if not chunk:
                 continue
@@ -111,6 +150,12 @@ def simulate(
                 res.seen.add(row["url_hash"])
                 res.crawl_order.append((round_no, host, rank, row["url_hash"]))
                 last_ok_rank = rank
+                if discovery is not None:
+                    round_children.extend(
+                        _children_of(
+                            row["url_hash"], row["seed_rank"], row["priority"], round_no, discovery
+                        )
+                    )
             trailing = len(chunk) - last_ok_rank
             if trailing == len(chunk):
                 hs.consecutive_errors += trailing
@@ -118,6 +163,12 @@ def simulate(
                 hs.consecutive_errors = trailing
             if hs.consecutive_errors >= hs.ban_threshold:
                 hs.quarantined = True
+
+        # append this round's discoveries: first-wins within the round
+        # (min seed_rank, canonical tiebreak), never replacing known URLs
+        for child in sorted(round_children, key=lambda c: (c["seed_rank"], c["canonical_url"])):
+            if child["url_hash"] not in frontier:
+                frontier[child["url_hash"]] = child
         res.rounds = round_no
         if scheduled == 0:
             break

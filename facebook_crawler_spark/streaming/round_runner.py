@@ -28,12 +28,35 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from facebook_crawler_spark.functions.urls import canonicalize_urls, url_hash
+from facebook_crawler_spark.functions.urls import canonicalize_urls, frontier_url_hash
 from facebook_crawler_spark.sources.tables import Table
 from facebook_crawler_spark.streaming import politeness
 from facebook_crawler_spark.streaming.seenset import build_bloom, split_by_bloom
 
 N_LINEAGE_BUCKETS = 64
+
+
+class DiscoveryConfig:
+    """Synthetic outlink expansion (the scroll-discovery stage, reference
+    crawlers/scroll_crawler.py:39-174 via SURVEY.md §3.3): each successful
+    fetch deterministically spawns 0-2 new URLs, appended to the frontier
+    with first-wins dedup. All arithmetic is pure modular so the Python
+    simulator reproduces it bit-for-bit.
+
+    child target image  t = (|h| mod P) * (j+1) + r*1007   (mod n_images)
+    child host          hot iff (t*2654435761) mod 100 < hot_pct
+    child url           https://{host}/item/img_{t}?disc={j}
+    child priority      inherited
+    child seed_rank     ((parent_rank mod 2^40)*31 + j*7 + r) mod 2^40
+    """
+
+    def __init__(self, n_images: int, n_hosts: int = 200, hot_pct: int = 40,
+                 hot_host: str = "cdn.fb-images.test", max_out: int = 3):
+        self.n_images = n_images
+        self.n_hosts = n_hosts
+        self.hot_pct = hot_pct
+        self.hot_host = hot_host
+        self.max_out = max_out
 
 
 def _verify_udf():
@@ -100,6 +123,7 @@ class CrawlEngine:
         cache_frontier: bool = True,
         verify_payloads: bool = True,
         store_payloads: bool = True,
+        discovery: DiscoveryConfig | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -118,6 +142,7 @@ class CrawlEngine:
         # verdicts, drop the image bytes from the committed table (the shape
         # of a dedup- or QA-only crawl where payloads live elsewhere)
         self.store_payloads = store_payloads
+        self.discovery = discovery
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -140,7 +165,7 @@ class CrawlEngine:
         consuming its shuffled list in order: the earliest seed_rank for a
         canonical URL defines its crawl position."""
         canon = seeds.withColumn("canonical_url", canonicalize_urls(F.col("url"))).withColumn(
-            "url_hash", url_hash(F.col("canonical_url"))
+            "url_hash", frontier_url_hash(F.col("canonical_url"))
         )
         w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc())
         deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
@@ -231,6 +256,69 @@ class CrawlEngine:
             return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
         return frontier.join(seen, "url_hash", "left_anti")
 
+    def _expand_discoveries(self, selected: DataFrame, fetched: DataFrame, round_no: int) -> int:
+        """Append this round's deterministic outlinks to the frontier
+        (first-wins dedup, anti-joined against everything already known).
+        Committed BEFORE the ledger so a crash-resume re-run finds the
+        children already present (idempotent via the anti-join) — and the
+        `discovered_round < round` filter in run_round keeps a re-run's
+        schedule identical to the uninterrupted one."""
+        d = self.discovery
+        ok_parents = selected.join(
+            fetched.filter(F.col("status") == "ok").select("url_hash"), "url_hash", "left_semi"
+        ).select("url_hash", "priority", "seed_rank")
+        base = F.pmod(F.col("url_hash"), F.lit(1_000_000_007))
+        kids = (
+            ok_parents.withColumn("__n", F.pmod(base, F.lit(d.max_out)))
+            .filter(F.col("__n") >= 1)
+            .select(
+                "url_hash", "priority", "seed_rank",
+                F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("j"),
+            )
+        )
+        kbase = F.pmod(F.col("url_hash"), F.lit(1_000_000_007))
+        t = F.pmod(kbase * (F.col("j") + 1) + round_no * 1007, F.lit(d.n_images))
+        host = F.when(
+            F.pmod(t * 2_654_435_761, F.lit(100)) < d.hot_pct, F.lit(d.hot_host)
+        ).otherwise(F.format_string("host-%03d.example.test", F.pmod(t * 97, F.lit(d.n_hosts - 1))))
+        child_rank = F.pmod(
+            F.pmod(F.col("seed_rank"), F.lit(1 << 40)) * 31 + F.col("j") * 7 + round_no,
+            F.lit(1 << 40),
+        )
+        children = kids.select(
+            F.format_string("https://%s/item/img_%012d?disc=%d", host, t, F.col("j")).alias("url"),
+            F.format_string("img_%012d", t).alias("image_id"),
+            host.alias("host"),
+            F.col("priority"),
+            child_rank.alias("seed_rank"),
+        )
+        canon = children.withColumn("canonical_url", canonicalize_urls(F.col("url"))).withColumn(
+            "url_hash", frontier_url_hash(F.col("canonical_url"))
+        )
+        w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc(), F.col("canonical_url").asc())
+        deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+        new = deduped.join(self._frontier().select("url_hash"), "url_hash", "left_anti")
+        salted = (
+            new.join(F.broadcast(self.hosts.select("host", "salt_factor")), "host", "left")
+            .withColumn(
+                "host_salt",
+                F.pmod(F.col("url_hash"), F.coalesce(F.col("salt_factor"), F.lit(1))).cast("int"),
+            )
+            .drop("salt_factor")
+        )
+        rows = salted.select(
+            "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
+            "priority", "seed_rank", F.lit(round_no).alias("discovered_round"),
+        ).cache()
+        n_new = rows.count()
+        if n_new:
+            self.frontier.append(rows)
+            if self._frontier_df is not None:
+                self._frontier_df.unpersist()
+                self._frontier_df = None  # re-read (and re-persist) with children
+        rows.unpersist()
+        return n_new
+
     def run_round(self) -> dict[str, int]:
         round_no = self.committed_round() + 1
         state = self.host_state.read(self.spark)
@@ -238,7 +326,10 @@ class CrawlEngine:
             "host", F.col("token_rate").alias("budget")
         )
 
-        candidates = politeness.robots_filter(self.pending(), self.hosts)
+        # discovered_round < round: children appended by round r must not be
+        # schedulable in a crash-re-run of round r itself (determinism)
+        eligible = self.pending().filter(F.col("discovered_round") < round_no)
+        candidates = politeness.robots_filter(eligible, self.hosts)
         selected = politeness.budget_rank(candidates, budgets).cache()
 
         # Synthetic fetch (north_rule): frontier ⋈ images on image_id.
@@ -341,6 +432,10 @@ class CrawlEngine:
         if n_sched > 0 and not already_written:
             self.fetched.append(fetched)
             self.host_state.overwrite(new_state)
+        n_disc = 0
+        if self.discovery is not None and n_ok > 0:
+            # before the ledger barrier (see _expand_discoveries docstring)
+            n_disc = self._expand_discoveries(selected, fetched, round_no)
         if n_sched > 0:
             self.ledger.append(lineage)
         else:
@@ -359,7 +454,7 @@ class CrawlEngine:
         fetched.unpersist()
         self._round = round_no
         self._seen_rows = (self._seen_rows or 0) + n_ok
-        return {"round": round_no, "scheduled": n_sched, "fetched": n_ok}
+        return {"round": round_no, "scheduled": n_sched, "fetched": n_ok, "discovered": n_disc}
 
     def run(self, max_rounds: int = 1000) -> list[dict[str, int]]:
         """Drive rounds until the frontier is drained (or only quarantined/
