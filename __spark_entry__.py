@@ -330,6 +330,81 @@ def q_fingerprint(spark, sf):
     return d.select("doc_id", fp.alias("fp"))
 
 
+def q_shortest_match(spark, sf):
+    """T3: shortest candidate ≤255 chars among regex matches
+    (reference utils/regex_search.py:11-19). min-by-(len, value) is encoded
+    as min over 'NNNN|value' strings so Spark and the SQL oracle break ties
+    identically."""
+    d = _t(spark, sf, "documents")
+    # split on single space to match the SQL oracle's string_split exactly
+    cands = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t.startswith("s") & (F.length(t) <= 255)
+    )
+    keyed = F.array_min(F.transform(cands, lambda t: F.format_string("%04d|%s", F.length(t), t)))
+    return d.select(
+        "doc_id",
+        F.coalesce(F.regexp_extract(keyed, r"^\d{4}\|(.*)$", 1), F.lit("")).alias("shortest_s_word"),
+    )
+
+
+def q_title_cascade(spark, sf):
+    """F3: coalesce fallback chain over two marker variants
+    (reference parsers/base_parser.py:24-46)."""
+    from facebook_crawler_spark.functions.extract import regex_search_between_lazy
+
+    d = _t(spark, sf, "documents")
+    html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.format_string('{"custom_title":"doc %s"}', F.col("doc_id").cast("string")),
+    ).otherwise(F.format_string("<title>page %s</title>", F.col("doc_id").cast("string")))
+    titled = d.withColumn("html", html)
+    cascade = F.coalesce(
+        regex_search_between_lazy(F.col("html"), '"custom_title":"', '"'),
+        regex_search_between_lazy(F.col("html"), "<title>", "</title>"),
+    )
+    return titled.select("doc_id", cascade.alias("title"))
+
+
+def q_location_split(spark, sf):
+    """F13: 'City, ZZ' → (city, code) split+trim (reference
+    parsers/scroll_parser.py:48-51)."""
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    loc = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.format_string("%s , %s", F.col("c_name"), F.col("n_name")).alias("loc")
+    )
+    parts = F.split(F.col("loc"), ",")
+    return loc.select(
+        "c_custkey",
+        F.trim(F.element_at(parts, 1)).alias("city"),
+        F.trim(F.element_at(parts, 2)).alias("code"),
+    )
+
+
+def q_trailing_errors(spark, sf):
+    """A4/ST4: per-key trailing-error run — the quarantine counter shape
+    (reference crawlers/availability_crawler.py:97-124)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (
+            F.count("*")
+            - F.coalesce(F.max(F.when(F.col("event_type") != "error", F.col("rn"))), F.lit(0))
+        ).alias("trailing_errors"),
+    )
+
+
+def q_ivf_ann_topk(spark, sf):
+    """Pipeline: IVF-style ANN (coarse quantizer + probe lists). Driver-side
+    kmeans sampling makes it non-SQL-expressible → rows-only check."""
+    from facebook_crawler_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_ann_topk(e, q, k=3, n_centroids=8, n_probe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "delta_anti_join": q_delta_anti_join,
@@ -360,6 +435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
+        "shortest_match": q_shortest_match,
+        "title_cascade": q_title_cascade,
+        "location_split": q_location_split,
+        "trailing_errors": q_trailing_errors,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -581,5 +661,36 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             f"SELECT doc_id, md5(array_to_string(list_transform({_TOKS}, x -> md5(x)), '')) AS fp"
             " FROM documents"
+        ),
+        "shortest_match": (
+            "SELECT doc_id, coalesce(regexp_extract(list_min(list_transform("
+            "  list_filter(string_split(lower(text), ' '),"
+            "              t -> t LIKE 's%' AND length(t) <= 255),"
+            "  t -> printf('%04d|%s', length(t), t))), '^\\d{4}\\|(.*)$', 1), '')"
+            " AS shortest_s_word FROM documents"
+        ),
+        "title_cascade": (
+            "SELECT doc_id, coalesce("
+            "  nullif(regexp_extract(html, '\"custom_title\":\"(.*?)\"', 1), ''),"
+            "  nullif(regexp_extract(html, '<title>(.*?)</title>', 1), '')) AS title"
+            " FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0"
+            "   THEN printf('{\"custom_title\":\"doc %s\"}', CAST(doc_id AS VARCHAR))"
+            "   ELSE printf('<title>page %s</title>', CAST(doc_id AS VARCHAR)) END AS html"
+            "  FROM documents)"
+        ),
+        "location_split": (
+            "SELECT c_custkey,"
+            " trim(string_split(loc, ',')[1]) AS city,"
+            " trim(string_split(loc, ',')[2]) AS code"
+            " FROM (SELECT c_custkey, printf('%s , %s', c_name, n_name) AS loc"
+            "   FROM customer JOIN nation ON c_nationkey = n_nationkey)"
+        ),
+        "trailing_errors": (
+            "SELECT user_id, count(*) AS n,"
+            " count(*) - coalesce(max(CASE WHEN event_type != 'error' THEN rn END), 0)"
+            "   AS trailing_errors"
+            " FROM (SELECT user_id, event_type,"
+            "       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "   FROM events) GROUP BY user_id"
         ),
     }

@@ -122,6 +122,100 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_lite_centroids(
+    corpus: DataFrame, k: int = 16, vec_col: str = "embedding", iters: int = 3, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: k centroids via a few Lloyd
+    iterations over a seeded sample, computed with DataFrame aggregations
+    (no MLlib dependency). Sample + per-centroid mean each iteration =
+    2 narrow shuffles; the result is a driver-side list broadcast into the
+    assignment expression."""
+    import numpy as np
+
+    sample = corpus.select(_as_double(F.col(vec_col)).alias("v")).sample(
+        fraction=min(1.0, 4000.0 / max(corpus.count(), 1)), seed=seed
+    )
+    pts = np.array([r.v for r in sample.collect()])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = pts[mask].mean(axis=0)
+    return cents.tolist()
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), as a Catalyst expression."""
+    d2s = [
+        F.aggregate(
+            F.zip_with(_as_double(vec), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    best = F.least(*d2s)
+    out = F.lit(-1)
+    for i in reversed(range(len(d2s))):
+        out = F.when(d2s[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, score
+    a query only against its `n_probe` nearest lists.
+
+    Plan shape mirrors a production IVF index: the corpus-side cell id is
+    one codegen'd projection (persistable/bucketable for reuse), the query
+    side is broadcast with its probe list exploded, and the join hits
+    ~n_probe/n_centroids of the corpus.
+    """
+    centroids = kmeans_lite_centroids(corpus, k=n_centroids, vec_col=vec_col)
+    c = corpus.withColumn("__cell", _nearest_centroid(F.col(vec_col), centroids))
+
+    # query probe cells: n_probe nearest centroids, exploded
+    import numpy as np
+
+    cents = np.array(centroids)
+
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).collect()
+    probe = []
+    for r in q_rows:
+        qv = r["__qvec"]
+        d2 = ((cents - np.array(qv, dtype=float)) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe.append((r[query_id_col], [float(x) for x in qv], int(cell)))
+    spark = corpus.sparkSession
+    q = F.broadcast(
+        spark.createDataFrame(probe, f"{query_id_col} long, __qvec array<double>, __cell int")
+    )
+
+    scored = c.join(q, "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

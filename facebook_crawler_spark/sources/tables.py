@@ -86,5 +86,28 @@ class Table:
             raise FileNotFoundError(f"table {self.path} v{v} is empty-manifest")
         return spark.read.parquet(*dirs)
 
+    def expire_versions(self, keep_last: int = 1) -> int:
+        """Iceberg `expire_snapshots` analog (S8 staging GC): delete version
+        manifests older than the newest `keep_last`, then remove data dirs
+        no surviving manifest references. Returns bytes-free count of
+        removed data dirs."""
+        current = self.current_version()
+        keep = {v for v in range(max(1, current - keep_last + 1), current + 1)}
+        all_versions = [
+            int(f[1:9]) for f in os.listdir(self._commits) if f.startswith("v") and f.endswith(".json")
+        ]
+        live_dirs: set[str] = set()
+        for v in keep:
+            live_dirs.update(self._read_manifest(v))
+        removed = 0
+        for v in all_versions:
+            if v not in keep:
+                for d in self._read_manifest(v):
+                    if d not in live_dirs and os.path.isdir(d):
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed += 1
+                os.remove(self._manifest_path(v))
+        return removed
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

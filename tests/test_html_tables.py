@@ -57,6 +57,20 @@ def test_table_commit_semantics(spark, tmp_path):
     assert t.read(spark, version=2).count() == 8
 
 
+def test_table_expire_versions(spark, tmp_path):
+    t = Table(str(tmp_path / "gc"))
+    t.append(spark.range(3).withColumnRenamed("id", "k"))
+    t.append(spark.range(4).withColumnRenamed("id", "k"))
+    t.overwrite(spark.range(2).withColumnRenamed("id", "k"))
+    removed = t.expire_versions(keep_last=1)
+    assert removed >= 1
+    assert t.read(spark).count() == 2  # current snapshot intact
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)  # expired
+
+
 def test_table_read_missing_raises(spark, tmp_path):
     t = Table(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):

@@ -45,6 +45,21 @@ def test_lsh_ann_recall_vs_brute_force(emb):
     assert a1 == e1
 
 
+def test_ivf_ann_self_match(emb):
+    from facebook_crawler_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_ann_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        best = min(rs, key=lambda r: r.rank)
+        # a query's own cell is always probed → self-match is rank 1
+        assert best.vec_id == qid and abs(best.cos_sim - 1.0) < 1e-5
+
+
 def test_embedding_near_dups_self_join(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
