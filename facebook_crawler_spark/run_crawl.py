@@ -1,0 +1,88 @@
+"""spark-submit entrypoint: seed a frontier and drive crawl rounds.
+
+The north_rule deployment shape:
+
+    spark-submit --py-files fcs.zip -m ... \
+        facebook_crawler_spark/run_crawl.py \
+        --workdir /data/crawl1 --urls 1000000 --images 200000 \
+        --hosts 200 --token-rate 1500 --rounds 100 --discovery
+
+On a cluster, --master and executor settings come from spark-submit; in
+local mode the session factory picks local[$SPARK_GRAFT_CPUS]. Resume:
+re-running with the same --workdir continues from the committed ledger
+(seeding is skipped when the frontier table already exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="frontier crawl runner")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--urls", type=int, default=100_000)
+    p.add_argument("--images", type=int, default=20_000)
+    p.add_argument("--hosts", type=int, default=200)
+    p.add_argument("--token-rate", type=int, default=1500)
+    p.add_argument("--rounds", type=int, default=1000)
+    p.add_argument("--error-permille", type=int, default=0)
+    p.add_argument("--discovery", action="store_true")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--no-store-payloads", action="store_true")
+    p.add_argument("--dim-span", type=int, default=97)
+    args = p.parse_args(argv)
+
+    from facebook_crawler_spark.session import get_spark
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine, DiscoveryConfig
+
+    spark = get_spark(app_name="fcs-crawl")
+    images = syn.gen_images(spark, args.images, dim_span=args.dim_span).cache()
+    hosts = syn.gen_hosts(spark, args.hosts, token_rate=args.token_rate)
+    disc = (
+        DiscoveryConfig(n_images=args.images, n_hosts=args.hosts, hot_pct=40, hot_host=syn.HOT_HOST)
+        if args.discovery
+        else None
+    )
+    eng = CrawlEngine(
+        spark,
+        args.workdir,
+        images,
+        hosts,
+        error_permille=args.error_permille,
+        verify_payloads=not args.no_verify,
+        store_payloads=not args.no_store_payloads,
+        discovery=disc,
+    )
+    if not eng.frontier.exists():
+        seeds = syn.gen_frontier_seeds(spark, args.urls, n_images=args.images, n_hosts=args.hosts)
+        eng.seed(seeds)
+        print(f"seeded {args.urls} urls", file=sys.stderr)
+    else:
+        print(f"resuming from round {eng.committed_round()}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    stats = eng.run(max_rounds=args.rounds)
+    dt = time.perf_counter() - t0
+    total = sum(s["scheduled"] for s in stats)
+    print(
+        json.dumps(
+            {
+                "rounds": len(stats),
+                "scheduled": total,
+                "fetched": sum(s["fetched"] for s in stats),
+                "discovered": sum(s.get("discovered", 0) for s in stats),
+                "sec": round(dt, 2),
+                "urls_per_sec": round(total / dt, 1) if dt > 0 else 0.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
