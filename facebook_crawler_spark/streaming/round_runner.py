@@ -231,6 +231,11 @@ class CrawlEngine:
     def _accumulate_seen(self, new_ok_hashes: DataFrame) -> None:
         base = self._seen()
         grown = new_ok_hashes if base is None else base.unionByName(new_ok_hashes)
+        # cap partition count: each round's union adds the new batch's
+        # partitions, and the bloom build collects one m/8-byte bitmap per
+        # partition — unbounded growth made round cost climb linearly
+        # (measured 9s → 18s over 8 rounds before this coalesce)
+        grown = grown.coalesce(self.spark.sparkContext.defaultParallelism)
         # localCheckpoint EVERY round: it both materializes the union (while
         # this round's `fetched` is still cached) and truncates the logical
         # plan. Mere persist() is not enough — each round's pending plan
