@@ -163,20 +163,33 @@ def main() -> dict:
 
 def scaling() -> None:
     """Run the frontier bench at local[8] and local[32]; write BENCH/BASELINE.md."""
+    def _quiesce():
+        """Level the playing field between subprocess runs: wait out JVM
+        shutdown + dirty-page writeback, then drop the page cache so every
+        run starts cold-uniform."""
+        time.sleep(30)
+        try:
+            subprocess.run(["sync"], check=False)
+            with open("/proc/sys/vm/drop_caches", "w") as fh:
+                fh.write("3\n")
+        except OSError:
+            pass  # not privileged — cooldown alone
+        time.sleep(5)
+
     results = {}
-    for cpus in (8, 32):
-        best = None
-        for attempt in range(2):  # best-of-2: JVM shutdown overlap and page
-            time.sleep(15)        # cache can contaminate a single sample
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="frontier-only", **SCALING_ENV)
-            out = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(f"local[{cpus}] attempt {attempt}: {r['frontier']}", file=sys.stderr)
-            if best is None or r["frontier"]["urls_per_sec"] > best["frontier"]["urls_per_sec"]:
-                best = r
-        results[cpus] = best
+    # interleaved best-of-2 so neither level systematically runs on a
+    # dirtier machine state than the other
+    for cpus in (32, 8, 32, 8):
+        _quiesce()
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="frontier-only", **SCALING_ENV)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"local[{cpus}]: {r['frontier']}", file=sys.stderr)
+        best = results.get(cpus)
+        if best is None or r["frontier"]["urls_per_sec"] > best["frontier"]["urls_per_sec"]:
+            results[cpus] = r
     t8 = results[8]["frontier"]["urls_per_sec"]
     t32 = results[32]["frontier"]["urls_per_sec"]
     eff = round((t32 / t8) / 4.0, 3) if t8 else 0.0
