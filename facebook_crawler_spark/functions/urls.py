@@ -36,9 +36,11 @@ def canonicalize_url_expr(url: Column) -> Column:
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     scheme = F.when(scheme == "", F.lit("https")).otherwise(scheme)
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    # scheme part optional so scheme-less input ('h.test/p') canonicalizes
+    # like the Arrow-UDF path (first segment = host), not to 'https:///'
+    host = F.lower(F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)", 1))
     host = F.regexp_replace(host, r":(80|443)$", "")
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     params = F.filter(
@@ -134,12 +136,12 @@ def frontier_url_hash(canonical: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased host of a URL, port stripped."""
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    """Lowercased host of a URL (scheme optional), port stripped."""
+    host = F.lower(F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)", 1))
     return F.regexp_replace(host, r":(80|443)$", "")
 
 
 def path_of(url: Column) -> Column:
-    """Path component ('' → '/')."""
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    """Path component ('' → '/'); scheme optional like host_of."""
+    path = F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)", 1)
     return F.when(path == "", F.lit("/")).otherwise(path)

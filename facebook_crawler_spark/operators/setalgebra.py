@@ -26,9 +26,14 @@ def dedup_last_wins(df: DataFrame, key: str = "adId", order: str = "file_seq") -
 
     Reference: dict insert keyed by adId over files in sequence
     (data_processor.py:44-50). One shuffle on `key`; the window's sort is
-    per-key and partial-agg friendly.
+    per-key and partial-agg friendly. Rows tied on (key, order) — which the
+    reference's sequential dict insert disambiguates by file row order, an
+    order Spark does not preserve — get a deterministic representative via
+    a whole-row hash tiebreak, so repeated runs (and resume replays) always
+    pick the same row.
     """
-    w = Window.partitionBy(key).orderBy(F.col(order).desc())
+    tiebreak = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(key).orderBy(F.col(order).desc(), tiebreak.desc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 

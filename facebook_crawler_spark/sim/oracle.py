@@ -48,24 +48,36 @@ class SimResult:
     rounds: int = 0
 
 
+def _fnv64_signed(s: str) -> int:
+    """FNV-1a 64-bit as signed int64 — deliberately re-implemented here
+    (NOT imported from the engine) so the oracle stays a genuinely
+    independent implementation; parity of the two 6-line definitions is
+    asserted in tests/test_urls.py."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _children_of(parent_hash: int, parent_rank: int, priority: int, round_no: int, d: dict) -> list[dict]:
     """Deterministic outlinks of one successful fetch — the pure-Python twin
     of round_runner._expand_discoveries (same modular arithmetic; the child
     URL is constructed already-canonical, so url_hash = fnv64 directly)."""
-    from facebook_crawler_spark.functions.urls import fnv64_signed
-
     base = parent_hash % 1_000_000_007
     out = []
     for j in range(1, base % d["max_out"] + 1):
         t = (base * (j + 1) + round_no * 1007) % d["n_images"]
-        if (t * 2_654_435_761) % 100 < d["hot_pct"]:
+        # (t mod P) before the Knuth multiply, mirroring the engine's
+        # int64-overflow-safe expression (Python ints wouldn't overflow,
+        # but both sides must compute the identical value)
+        if ((t % 1_000_000_007) * 2_654_435_761) % 100 < d["hot_pct"]:
             host = d["hot_host"]
         else:
             host = f"host-{(t * 97) % (d['n_hosts'] - 1):03d}.example.test"
         url = f"https://{host}/item/img_{t:012d}?disc={j}"
         out.append(
             {
-                "url_hash": fnv64_signed(url),
+                "url_hash": _fnv64_signed(url),
                 "canonical_url": url,
                 "host": host,
                 "priority": priority,

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from facebook_crawler_spark.functions.urls import path_of
 
+# Defaults applied to hosts that appear in the frontier but not in the hosts
+# dimension (mirrors sim.oracle's HostState defaults — the reference's
+# LISTINGS_NUM_PER_PROXY / PROXIES_BANNED_THRESHOLD constants,
+# reference config.py:86-87,95-96).
+DEFAULT_TOKEN_RATE = 50
+DEFAULT_BAN_THRESHOLD = 20
+
+
 def host_order() -> list:
     """Deterministic crawl order within a host: priority band first (the
     reference's price-band loop), then the persisted shuffle order
@@ -40,7 +48,9 @@ def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     return joined.filter(~disallowed).drop("robots_disallow")
 
 
-def budget_rank(pending: DataFrame, host_budgets: DataFrame) -> DataFrame:
+def budget_rank(
+    pending: DataFrame, host_budgets: DataFrame, default_budget: int | None = None
+) -> DataFrame:
     """Select each host's next `budget` URLs in deterministic crawl order.
 
     Skew-safe two-stage top-k (SURVEY.md §4 custom #3, R3): a single
@@ -51,8 +61,21 @@ def budget_rank(pending: DataFrame, host_budgets: DataFrame) -> DataFrame:
     surviving ≤ budget×salt_factor rows per host — a tiny set — so the
     final per-host order is byte-identical to a direct top-k, without the
     skewed shuffle.
+
+    `default_budget`: budget for hosts absent from `host_budgets` (discovered
+    hosts outside the dimension). None (default) keeps the inner-join
+    behavior — unknown hosts are dropped. Callers that can see out-of-
+    dimension hosts (the crawl engine) pass DEFAULT_TOKEN_RATE so engine and
+    simulator schedule them identically; quarantined hosts must then be
+    excluded from `pending` BEFORE this call (they are absent from
+    host_budgets too and would wrongly inherit the default).
     """
-    p = pending.join(F.broadcast(host_budgets.select("host", "budget")), "host")
+    if default_budget is None:
+        p = pending.join(F.broadcast(host_budgets.select("host", "budget")), "host")
+    else:
+        p = pending.join(
+            F.broadcast(host_budgets.select("host", "budget")), "host", "left"
+        ).withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
     w1 = Window.partitionBy("host", "host_salt").orderBy(*host_order())
     stage1 = p.withColumn("__r1", F.row_number().over(w1)).filter(
         F.col("__r1") <= F.col("budget")
@@ -77,20 +100,26 @@ def update_host_state(
     `any_ok`. Consecutive-error semantics match the reference's per-proxy
     counter (availability_crawler.py:97-124): a success resets the count;
     errors at the end of the round carry into the next.
+
+    Hosts present in `round_outcomes` but not in `host_state` (first fetch
+    of a discovered out-of-dimension host) enter the state table with the
+    same defaults the simulator applies — the full-outer join keeps them.
     """
-    joined = host_state.join(round_outcomes, "host", "left")
+    joined = host_state.join(round_outcomes, "host", "full")
+    prev_consec = F.coalesce(F.col("consecutive_errors"), F.lit(0))
     new_consec = (
-        F.when(F.col("n_items").isNull(), F.col("consecutive_errors"))  # host idle this round
+        F.when(F.col("n_items").isNull(), prev_consec)  # host idle this round
         .when(
             F.col("trailing_blocked") == F.col("n_items"),
-            F.col("consecutive_errors") + F.col("trailing_blocked"),  # whole round failed
+            prev_consec + F.col("trailing_blocked"),  # whole round failed
         )
         .otherwise(F.col("trailing_blocked"))  # a success occurred → count restarts at suffix
     )
+    ban = F.coalesce(F.col(ban_threshold_col), F.lit(DEFAULT_BAN_THRESHOLD))
     return joined.select(
         "host",
-        "token_rate",
-        F.col(ban_threshold_col),
+        F.coalesce(F.col("token_rate"), F.lit(DEFAULT_TOKEN_RATE)).alias("token_rate"),
+        ban.alias(ban_threshold_col),
         new_consec.cast("int").alias("consecutive_errors"),
-        (new_consec >= F.col(ban_threshold_col)).alias("quarantined"),
+        (new_consec >= ban).alias("quarantined"),
     )

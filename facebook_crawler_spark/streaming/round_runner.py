@@ -44,7 +44,7 @@ class DiscoveryConfig:
     simulator reproduces it bit-for-bit.
 
     child target image  t = (|h| mod P) * (j+1) + r*1007   (mod n_images)
-    child host          hot iff (t*2654435761) mod 100 < hot_pct
+    child host          hot iff ((t mod P)*2654435761) mod 100 < hot_pct
     child url           https://{host}/item/img_{t}?disc={j}
     child priority      inherited
     child seed_rank     ((parent_rank mod 2^40)*31 + j*7 + r) mod 2^40
@@ -283,8 +283,12 @@ class CrawlEngine:
         )
         kbase = F.pmod(F.col("url_hash"), F.lit(1_000_000_007))
         t = F.pmod(kbase * (F.col("j") + 1) + round_no * 1007, F.lit(d.n_images))
+        # reduce t below 1e9+7 before the Knuth multiply: t*2654435761 would
+        # overflow int64 (ANSI-mode throw) once n_images exceeds ~3.5e9; the
+        # reduced product caps at ~2.7e18 < 2^63. Mirrored in sim.oracle.
+        t_red = F.pmod(t, F.lit(1_000_000_007))
         host = F.when(
-            F.pmod(t * 2_654_435_761, F.lit(100)) < d.hot_pct, F.lit(d.hot_host)
+            F.pmod(t_red * 2_654_435_761, F.lit(100)) < d.hot_pct, F.lit(d.hot_host)
         ).otherwise(F.format_string("host-%03d.example.test", F.pmod(t * 97, F.lit(d.n_hosts - 1))))
         child_rank = F.pmod(
             F.pmod(F.col("seed_rank"), F.lit(1 << 40)) * 31 + F.col("j") * 7 + round_no,
@@ -327,15 +331,25 @@ class CrawlEngine:
     def run_round(self) -> dict[str, int]:
         round_no = self.committed_round() + 1
         state = self.host_state.read(self.spark)
+        quarantined = state.filter(F.col("quarantined")).select("host")
         budgets = state.filter(~F.col("quarantined")).select(
             "host", F.col("token_rate").alias("budget")
         )
 
         # discovered_round < round: children appended by round r must not be
-        # schedulable in a crash-re-run of round r itself (determinism)
-        eligible = self.pending().filter(F.col("discovered_round") < round_no)
+        # schedulable in a crash-re-run of round r itself (determinism).
+        # Quarantined hosts are excluded here (anti-join) rather than by the
+        # budget join, so hosts OUTSIDE the dimension can safely fall back to
+        # the default budget — the same default the simulator applies.
+        eligible = (
+            self.pending()
+            .filter(F.col("discovered_round") < round_no)
+            .join(F.broadcast(quarantined), "host", "left_anti")
+        )
         candidates = politeness.robots_filter(eligible, self.hosts)
-        selected = politeness.budget_rank(candidates, budgets).cache()
+        selected = politeness.budget_rank(
+            candidates, budgets, default_budget=politeness.DEFAULT_TOKEN_RATE
+        ).cache()
 
         # Synthetic fetch (north_rule): frontier ⋈ images on image_id.
         # Join direction matters enormously: a plain shuffle join moves the
@@ -434,8 +448,15 @@ class CrawlEngine:
             and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
         )
         self._fresh_process = False
-        if n_sched > 0 and not already_written:
-            self.fetched.append(fetched)
+        if n_sched > 0:
+            if not already_written:
+                self.fetched.append(fetched)
+            # host_state.overwrite is deterministic and idempotent (pure
+            # function of previous state + this round's outcomes), so it is
+            # NOT guarded by already_written: a crash between fetched.append
+            # and this overwrite would otherwise leave host_state one round
+            # stale on resume, diverging quarantine counters from the
+            # uninterrupted run.
             self.host_state.overwrite(new_state)
         n_disc = 0
         if self.discovery is not None and n_ok > 0:

@@ -130,6 +130,44 @@ def test_resume_after_kill_is_identical(spark, world, engine_run, tmp_path_facto
     assert s1 == s2
 
 
+def test_unknown_host_default_budget_matches_simulator(spark, tmp_path_factory):
+    """Frontier hosts absent from the hosts dimension are scheduled with the
+    simulator's default token_rate/ban_threshold (politeness.DEFAULT_*)
+    instead of being silently dropped by the budget join — and their error/
+    quarantine state is tracked from first contact (full-outer state join)."""
+    n, n_img = 400, 300
+    images = syn.gen_images(spark, n_img, partitions=4).cache()
+    hosts = syn.gen_hosts(spark, 2, token_rate=7, ban_threshold=15)  # rogue hosts NOT in dim
+    base = spark.range(0, n, 1, 4)
+    host = (
+        F.when(F.col("id") % 3 == 0, F.lit("rogue-a.test"))
+        .when(F.col("id") % 3 == 1, F.lit("rogue-b.test"))
+        .otherwise(F.lit("host-000.example.test"))
+    )
+    seeds = base.select(
+        F.format_string("https://%s/item/img_%012d", host, F.col("id") % n_img).alias("url"),
+        F.format_string("img_%012d", F.col("id") % n_img).alias("image_id"),
+        host.alias("host"),
+        F.lit(0).cast("int").alias("priority"),
+        F.col("id").cast("long").alias("seed_rank"),
+    )
+    wd = str(tmp_path_factory.mktemp("engine_rogue"))
+    eng = CrawlEngine(spark, wd, images, hosts, error_permille=ERROR_PERMILLE)
+    eng.seed(seeds)
+    eng.run(max_rounds=30)
+
+    sim = _sim_result(spark, eng, hosts)
+    engine_order = {
+        (r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()
+    }
+    assert engine_order == set(sim.crawl_order)
+    rogue_fetches = [t for t in engine_order if t[1].startswith("rogue-")]
+    assert rogue_fetches, "unknown hosts must be crawled, not dropped"
+    # unknown hosts entered the state table with the default budget
+    state = eng.host_state.read(spark).filter(F.col("host").startswith("rogue-")).collect()
+    assert {r.token_rate for r in state} == {50} and {r.ban_threshold for r in state} == {20}
+
+
 def test_robots_never_fetched(spark, world, engine_run):
     images, hosts, seeds = world
     eng, _ = engine_run

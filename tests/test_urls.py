@@ -19,7 +19,34 @@ CASES = [
     ("https://h.test/p?utm_campaign=x", "https://h.test/p"),
     ("https://h.test/p?ref=feed&x=1#frag", "https://h.test/p?x=1"),
     ("https://h.test:443/p", "https://h.test/p"),
+    # scheme-less: first segment is the host on both the expr and UDF paths
+    ("H.Test/p?b=2&a=1", "https://h.test/p?a=1&b=2"),
+    ("h.test", "https://h.test/"),
 ]
+
+
+def test_udf_matches_expr_on_golden_cases(spark):
+    """Including the scheme-less cases the fixture generator never emits."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    out = df.select(
+        canonicalize_url_expr(F.col("url")).alias("e"),
+        canonicalize_urls(F.col("url")).alias("u"),
+    ).collect()
+    assert [(r.e, r.u) for r in out if r.e != r.u] == []
+
+
+def test_simulator_fnv_matches_engine_fnv():
+    """The oracle's independent FNV-1a re-implementation must equal the
+    engine's for every frontier URL shape."""
+    from facebook_crawler_spark.functions.urls import fnv64_signed
+    from facebook_crawler_spark.sim.oracle import _fnv64_signed
+
+    samples = [
+        "https://cdn.fb-images.test/item/img_000000000042?disc=1",
+        "https://host-199.example.test/item/img_000000000001",
+        "", "ü¶é-unicode", "a" * 300,
+    ]
+    assert [fnv64_signed(s) for s in samples] == [_fnv64_signed(s) for s in samples]
 
 
 def test_expr_canonicalization_golden(spark):
