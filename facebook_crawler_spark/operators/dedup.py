@@ -266,12 +266,15 @@ def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a string hash (process-stable, unlike
-    Python's builtin hash)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit token hash: first 16 hex chars of md5. Chosen
+    over FNV so the DuckDB oracle can replay the exact bit pattern
+    (nibble-by-nibble from md5's hex output — DuckDB 1.0 has md5 but no
+    strtol/conv to parse raw 64-bit ints); md5's diffusion also beats FNV
+    for the simhash bit votes. Process-stable, unlike Python's builtin
+    hash."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
 def simhash_near_dups(

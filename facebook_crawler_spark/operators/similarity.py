@@ -126,15 +126,15 @@ def kmeans_lite_centroids(
     corpus: DataFrame, k: int = 16, vec_col: str = "embedding", iters: int = 3, seed: int = 42
 ) -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: k centroids via a few Lloyd
-    iterations over a seeded sample, computed with DataFrame aggregations
-    (no MLlib dependency). Sample + per-centroid mean each iteration =
-    2 narrow shuffles; the result is a driver-side list broadcast into the
+    iterations over a bounded sample (no MLlib dependency). The sample is
+    `limit(4000)` — a deterministic prefix scan that reads only the first
+    partitions (a coarse quantizer does not need uniform sampling, it needs
+    a cheap, reproducible sketch; a fraction-based sample would first cost a
+    full count() scan). The result is a driver-side list broadcast into the
     assignment expression."""
     import numpy as np
 
-    sample = corpus.select(_as_double(F.col(vec_col)).alias("v")).sample(
-        fraction=min(1.0, 4000.0 / max(corpus.count(), 1)), seed=seed
-    )
+    sample = corpus.select(_as_double(F.col(vec_col)).alias("v")).limit(4000)
     pts = np.array([r.v for r in sample.collect()])
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
@@ -165,6 +165,24 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return out
 
 
+def _probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """array<int> of the `n_probe` nearest centroid indexes — pure Catalyst:
+    per-centroid squared-L2 exprs, array_sort of (d2, idx) structs (sorts by
+    d2 then idx, the deterministic tiebreak), slice, project idx."""
+    d2s = [
+        F.aggregate(
+            F.zip_with(_as_double(vec), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    ranked = F.array_sort(
+        F.array(*[F.struct(d.alias("d2"), F.lit(i).alias("idx")) for i, d in enumerate(d2s)])
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -174,33 +192,32 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, score
     a query only against its `n_probe` nearest lists.
 
     Plan shape mirrors a production IVF index: the corpus-side cell id is
     one codegen'd projection (persistable/bucketable for reuse), the query
-    side is broadcast with its probe list exploded, and the join hits
-    ~n_probe/n_centroids of the corpus.
+    side computes its probe cells with the SAME Catalyst expressions (no
+    driver-side collect — an arbitrarily large query batch stays
+    distributed), explodes them, and is broadcast into the corpus join,
+    which hits ~n_probe/n_centroids of the corpus.
+
+    `centroids`: pass a fixed list to make the whole plan a deterministic
+    pure function of its inputs (SQL-oracle-checkable); default trains the
+    kmeans-lite coarse quantizer.
     """
-    centroids = kmeans_lite_centroids(corpus, k=n_centroids, vec_col=vec_col)
+    if centroids is None:
+        centroids = kmeans_lite_centroids(corpus, k=n_centroids, vec_col=vec_col)
     c = corpus.withColumn("__cell", _nearest_centroid(F.col(vec_col), centroids))
 
-    # query probe cells: n_probe nearest centroids, exploded
-    import numpy as np
-
-    cents = np.array(centroids)
-
-    q_rows = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).collect()
-    probe = []
-    for r in q_rows:
-        qv = r["__qvec"]
-        d2 = ((cents - np.array(qv, dtype=float)) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:n_probe]:
-            probe.append((r[query_id_col], [float(x) for x in qv], int(cell)))
-    spark = corpus.sparkSession
     q = F.broadcast(
-        spark.createDataFrame(probe, f"{query_id_col} long, __qvec array<double>, __cell int")
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("__cell"),
+        )
     )
 
     scored = c.join(q, "__cell").select(
@@ -221,28 +238,45 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 10,
     dim: int = 16,
+    bands: int = 2,
+    max_bucket: int = 200,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP-bucketed self-join.
+    """Embedding-cosine near-duplicate pairs via multi-band SRP bucketing.
 
-    Only same-bucket pairs are scored; at 100 TB the bucket count scales
-    with 2^n_planes so the per-bucket join stays bounded.
+    `bands` independent SRP plane sets (OR-amplification: a pair is a
+    candidate if it shares the full bucket in ANY band — recall grows with
+    bands while each band's bucket stays selective). Pair expansion is the
+    same capped in-row form as MinHash-LSH (`dedup._pairs_within_buckets`):
+    one shuffle on the band key, ≤ max_bucket²/2 pairs per bucket, and a
+    degenerate bucket (many identical/zero vectors) is DROPPED rather than
+    going quadratic — the guardrail the previous self-join formulation
+    lacked. Exact cosine is then computed only for surviving candidate
+    pairs by joining the vectors back.
     """
-    planes = make_planes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-    ).withColumn("__bucket", srp_bucket(F.col("vec"), planes))
-    a, b = c.alias("a"), c.alias("b")
+    from facebook_crawler_spark.operators.dedup import _pairs_within_buckets
+
+    keyed = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    band_keys = [
+        F.concat(
+            F.lit(f"{b}:"),
+            srp_bucket(F.col("vec"), make_planes(dim, n_planes, seed=seed + b)).cast("string"),
+        )
+        for b in range(bands)
+    ]
+    exploded = keyed.select("id", F.explode(F.array(*band_keys)).alias("band"))
+    pairs = _pairs_within_buckets(exploded, "band", max_bucket=max_bucket)
+    va = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(_as_double(F.col("a.vec")), _as_double(F.col("b.vec"))), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
