@@ -127,12 +127,15 @@ def q_topk_oldest(spark, sf):
 
 
 def q_chunking(spark, sf):
-    """T2: fixed-size batch ids (details_crawler.py:37-43)."""
+    """T2: fixed-size batch ids WITHIN a key — the reference's 50-per-proxy
+    chunking (details_crawler.py:37-43). The window partitions by user_id,
+    so no row funnels through a global sort (a bare orderBy window would
+    serialize the whole table through one task at scale)."""
     ev = _t(spark, sf, "events")
-    w = Window.orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
     return (
         ev.withColumn("batch", F.floor((F.row_number().over(w) - 1) / 50))
-        .groupBy("batch")
+        .groupBy("user_id", "batch")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
     )
 
@@ -261,8 +264,9 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    """Pipeline: SimHash near-dups (Arrow UDF hash — no SQL oracle,
-    rows-only check)."""
+    """Pipeline: SimHash near-dups. The per-token hash is md5-derived
+    (first 16 hex chars), so the DuckDB oracle replays every bit vote
+    nibble-by-nibble — full hash parity, not rows-only."""
     from facebook_crawler_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf, "documents")
@@ -278,20 +282,22 @@ def q_cosine_topk(spark, sf):
     return brute_force_topk(e, q, k=3)
 
 
-def q_embedding_near_dups(spark, sf):
-    """Pipeline: embedding-cosine near-dup pairs (exact all-pairs form for
-    the oracle; the LSH-bucketed form is the scale path)."""
-    from facebook_crawler_spark.operators.similarity import _as_double, cosine
+# embedding-near-dup gate parameters (shared by the Spark query and the
+# generated SQL oracle so both sides bucket identically)
+_ND_DIM, _ND_PLANES, _ND_BANDS, _ND_SEED, _ND_MAXB, _ND_THRESH = 64, 4, 2, 42, 200, 0.34
 
-    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, a.id_a < b.id_b)
-        .select(
-            "id_a", "id_b", F.round(cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= 0.34)
+
+def q_embedding_near_dups(spark, sf):
+    """Pipeline: embedding-cosine near-dup pairs via the SCALE-PATH operator
+    (multi-band SRP bucketing + capped in-row pair expansion — never
+    all-pairs). The oracle replays the identical plane literals, so even
+    the bucket restriction is hash-checked."""
+    from facebook_crawler_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dups(
+        e, threshold=_ND_THRESH, n_planes=_ND_PLANES, dim=_ND_DIM,
+        bands=_ND_BANDS, max_bucket=_ND_MAXB, seed=_ND_SEED,
     )
 
 
@@ -395,14 +401,271 @@ def q_trailing_errors(spark, sf):
     )
 
 
+_IVF_K, _IVF_PROBE, _IVF_TOPK, _IVF_SEED = 8, 3, 3, 7
+
+
+def _ivf_fixed_centroids() -> list[list[float]]:
+    """Deterministic centroid literals (seeded PCG64) shared by the Spark
+    gate query and the SQL oracle — with centroids fixed, the whole IVF
+    plan (assign + probe + top-k) is a pure function of its inputs."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(_IVF_SEED))
+    return (rng.standard_normal((_IVF_K, _ND_DIM)) * 0.1).tolist()
+
+
 def q_ivf_ann_topk(spark, sf):
-    """Pipeline: IVF-style ANN (coarse quantizer + probe lists). Driver-side
-    kmeans sampling makes it non-SQL-expressible → rows-only check."""
+    """Pipeline: IVF-style ANN (coarse quantizer + probe lists). The gate
+    runs with fixed deterministic centroids so assignment + probing + top-k
+    is SQL-oracle-checkable; production path trains kmeans-lite instead
+    (pytest-covered recall test)."""
     from facebook_crawler_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_ann_topk(e, q, k=3, n_centroids=8, n_probe=3)
+    return ivf_ann_topk(
+        e, q, k=_IVF_TOPK, n_probe=_IVF_PROBE, centroids=_ivf_fixed_centroids()
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction-family gates over the deterministic HTML fixture
+# (facebook_crawler_spark/sources/html_fixture.py). The oracles derive the
+# expected output in closed form from doc_id — an independent check of
+# generator + extractor.
+# ---------------------------------------------------------------------------
+
+def _pages(spark, sf):
+    from facebook_crawler_spark.sources import html_fixture as hf
+
+    return hf.detail_pages(spark, sf)
+
+
+def q_seller_parse(spark, sf):
+    """F4: first actor (id, __typename) from embedded JSON
+    (reference parsers/base_parser.py:48-56)."""
+    from facebook_crawler_spark.functions.extract import seller_of
+
+    p = _pages(spark, sf)
+    s = seller_of(F.col("html"))
+    return p.select("doc_id", s["sellerId"].alias("sellerId"), s["sellerType"].alias("sellerType"))
+
+
+def q_image_links(spark, sf):
+    """F5: listing_photos → image URI array (from_json + transform,
+    reference parsers/base_parser.py:58-64); emitted as count + joined
+    string so the value hash is list-representation-agnostic."""
+    from facebook_crawler_spark.functions.extract import image_links_of
+
+    p = _pages(spark, sf)
+    links = image_links_of(F.col("html"))
+    return p.select(
+        "doc_id",
+        F.size(links).alias("n_links"),
+        F.concat_ws("|", links).alias("links_joined"),
+    )
+
+
+def q_boosted_cleanup(spark, sf):
+    """F6: is_boosted extraction + quote-strip/lower/null cleanup
+    (reference parsers/base_parser.py:66-69)."""
+    from facebook_crawler_spark.functions.extract import is_boosted_of
+
+    p = _pages(spark, sf)
+    return p.select("doc_id", is_boosted_of(F.col("html")).alias("is_boosted"))
+
+
+def q_pdp_map(spark, sf):
+    """F7: nested pdp sections → map<icon_name, display_label>
+    (reference parsers/property_parser.py:50-61); probed at two keys."""
+    from facebook_crawler_spark.functions.extract import pdp_fields_of
+
+    p = _pages(spark, sf)
+    m = pdp_fields_of(F.col("html"))
+    return p.select(
+        "doc_id",
+        F.element_at(m, "bed").alias("bed"),
+        F.element_at(m, "bath").alias("bath"),
+    )
+
+
+def q_automotive_parse(spark, sf):
+    """F11: the 10 automotive extracts incl. JSON-dig hp
+    (reference parsers/automotive_parser.py:14-63)."""
+    from facebook_crawler_spark.functions.extract import automotive_fields
+
+    p = _pages(spark, sf)
+    return p.select("doc_id", *automotive_fields(F.col("html")))
+
+
+def q_relative_dates(spark, sf):
+    """F9: 'N days/weeks/months ago' → timestamp walk-back from the crawl
+    moment (reference parsers/property_parser.py:13-48); emitted as epoch
+    seconds for timezone-free comparison."""
+    from facebook_crawler_spark.functions.extract import (
+        regex_search_between_lazy,
+        relative_date,
+    )
+    from facebook_crawler_spark.sources.html_fixture import ROUND_TS
+
+    p = _pages(spark, sf)
+    date_text = regex_search_between_lazy(F.col("html"), '<span class="date">', "</span>")
+    ts = relative_date(date_text, F.lit(ROUND_TS).cast("timestamp"))
+    return p.select("doc_id", F.unix_timestamp(ts).alias("rel_epoch"))
+
+
+def q_url_states(spark, sf):
+    """P4: 'alive'|'blocked'|'gone' from the post-redirect URL
+    (reference crawlers/details_crawler.py:63,75)."""
+    from facebook_crawler_spark.functions.extract import url_state
+
+    p = _pages(spark, sf)
+    return p.select("doc_id", url_state(F.col("final_url")).alias("state"))
+
+
+def q_sold_flags(spark, sf):
+    """P5 + F3: title cascade then the Sold/Rented predicate
+    (reference crawlers/availability_crawler.py:25-40)."""
+    from facebook_crawler_spark.functions.extract import is_sold, title_of
+
+    p = _pages(spark, sf)
+    return p.select("doc_id", is_sold(title_of(F.col("html"))).alias("sold"))
+
+
+def q_start_url_build(spark, sf):
+    """F14: start-URL construction (reference crawlers/scroll_crawler.py:72-75)."""
+    from facebook_crawler_spark.functions.extract import start_url
+    from facebook_crawler_spark.sources.html_fixture import CATS, price_comb
+
+    d = _t(spark, sf, "documents")
+    city = F.format_string("city-%03d", F.col("doc_id") % 99)
+    cat = F.element_at(F.array(*[F.lit(c) for c in CATS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return d.select(
+        "doc_id", start_url(city, cat, price_comb(F.col("doc_id"))).alias("start_url")
+    )
+
+
+def q_price_band_unpack(spark, sf):
+    """F15: '?maxPrice=X&minPrice=Y' → (min, max) ints
+    (reference crawlers/scroll_crawler.py:93-96)."""
+    from facebook_crawler_spark.functions.extract import price_band
+    from facebook_crawler_spark.sources.html_fixture import price_comb
+
+    d = _t(spark, sf, "documents")
+    min_p, max_p = price_band(price_comb(F.col("doc_id")))
+    return d.select("doc_id", min_p.alias("min_price"), max_p.alias("max_price"))
+
+
+def q_html_extract_struct(spark, sf):
+    """F17/U2: the Arrow-batched BaseRecord page extraction (mapInPandas)
+    — title cascade, seller, links, boosted, sold in one pass."""
+    from facebook_crawler_spark.functions.html import html_extract
+
+    p = _pages(spark, sf).select("doc_id", "html")
+    out = html_extract(p, "html")
+    return out.select(
+        "doc_id", "title", "sellerId", "sellerType",
+        F.coalesce(F.concat_ws("|", F.col("imageLinks")), F.lit("")).alias("links_joined"),
+        "isBoosted", "is_sold",
+    )
+
+
+def q_scroll_grid_parse(spark, sf):
+    """F17 UDTF form + P6 guards: many records per grid page, anchor-less
+    items skipped (reference parsers/scroll_parser.py:12-61)."""
+    from facebook_crawler_spark.functions.html import parse_scroll_grid
+    from facebook_crawler_spark.sources import html_fixture as hf
+
+    return parse_scroll_grid(hf.grid_pages(spark, sf), "html")
+
+
+def q_enrichment_join(spark, sf):
+    """J8: parsed grid records enriched with the page-level dimension
+    (broadcast join, reference crawlers/details_crawler.py:75-103 joining
+    parse output back to listing metadata)."""
+    from facebook_crawler_spark.functions.html import parse_scroll_grid
+    from facebook_crawler_spark.sources import html_fixture as hf
+
+    recs = parse_scroll_grid(hf.grid_pages(spark, sf), "html")
+    dim = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("page_id"), "source", "lang"
+    )
+    return recs.join(F.broadcast(dim), "page_id").select(
+        "page_id", "adId", "price", "source", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# source/sink gates (S1/S2/S3, S5, S6): real write+read round trips through
+# the io helpers, under bounded /tmp roots (same path per sf → overwrite,
+# no unbounded growth), with closed-form oracles over the source tables.
+# ---------------------------------------------------------------------------
+
+def _gate_tmp(sf: str, tag: str) -> str:
+    import os
+
+    return f"/tmp/fcs_gate_{tag}_{os.path.basename(sf.rstrip('/'))}"
+
+
+def q_jsonl_roundtrip(spark, sf):
+    """S1/S2/S3: gzip-JSONL write under year=/month=/day= + explicit-schema
+    read-back (reference db/s3_db.py:12-36); the aggregate must equal the
+    same aggregate over the source table."""
+    from datetime import date
+
+    from facebook_crawler_spark.sources import io as fio
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    root = _gate_tmp(sf, "jsonl")
+    day = date(2023, 11, 15)
+    fio.write_stage(d, root, day)
+    back = fio.read_stage(spark, root, "doc_id long, lang string, n_chars long", day=day)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_latest_partition(spark, sf):
+    """S5/ST6: bounded walk-back to the latest available partition
+    (reference data_processor.py:52-71): days 10/12/13 exist, day 15 is
+    requested → day 13 must be resolved (from partition metadata, no data
+    scan) and read."""
+    from datetime import date
+
+    from facebook_crawler_spark.sources import io as fio
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    root = _gate_tmp(sf, "snap")
+    for day, mod in [(date(2023, 11, 10), 2), (date(2023, 11, 12), 3), (date(2023, 11, 13), 5)]:
+        fio.write_stage(d.filter(F.col("doc_id") % mod == 0), root, day)
+    got = fio.read_latest_snapshot(
+        spark, root, "doc_id long, n_chars long", before=date(2023, 11, 15), max_back=5
+    )
+    assert got is not None and got[1] == date(2023, 11, 13), got
+    return got[0].groupBy().agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    ).withColumn("picked_day", F.lit(got[1].day))
+
+
+def q_csv_dimension(spark, sf):
+    """S6: CSV dimension ingestion (reference new_codes.csv,
+    data_processing/data_processor.py:28-32): write the canton dimension as
+    header CSV, read it back with an explicit schema, broadcast-semi-join
+    the customer fact on a synthesized city key."""
+    from facebook_crawler_spark.sources.synthetic import gen_cantons
+
+    path = _gate_tmp(sf, "csv")
+    gen_cantons(spark, 60).write.mode("overwrite").option("header", True).csv(path)
+    dim = spark.read.option("header", True).schema(
+        "zip string, city string, cantonCode string,"
+        " west double, south double, north double, east double"
+    ).csv(path)
+    c = _t(spark, sf, "customer").withColumn(
+        "city", F.format_string("city-%03d", F.col("c_custkey") % 100)
+    )
+    return c.join(F.broadcast(dim.select("city").distinct()), "city", "left_semi").select(
+        "c_custkey", "city"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -440,6 +703,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_split": q_location_split,
         "trailing_errors": q_trailing_errors,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "seller_parse": q_seller_parse,
+        "image_links": q_image_links,
+        "boosted_cleanup": q_boosted_cleanup,
+        "pdp_map": q_pdp_map,
+        "automotive_parse": q_automotive_parse,
+        "relative_dates": q_relative_dates,
+        "url_states": q_url_states,
+        "sold_flags": q_sold_flags,
+        "start_url_build": q_start_url_build,
+        "price_band_unpack": q_price_band_unpack,
+        "html_extract_struct": q_html_extract_struct,
+        "scroll_grid_parse": q_scroll_grid_parse,
+        "enrichment_join": q_enrichment_join,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "latest_partition": q_latest_partition,
+        "csv_dimension": q_csv_dimension,
     }
 
 
@@ -496,6 +775,118 @@ WITH toks AS (
 """
 
 
+# --- generated oracles: these replay the engine's exact arithmetic ---------
+#
+# Floating-point parity note: Spark's F.aggregate fold is ((0.0+t1)+t2)+…;
+# an explicit left-associated SQL sum ((t1+t2)+t3)… produces bit-identical
+# doubles because 0.0+t1 == t1 exactly. Plane/centroid literals are repr()'d
+# shortest-roundtrip floats, which DuckDB parses to the same double.
+
+
+def _dot_sql(vec: str, weights: list[float]) -> str:
+    return "(" + " + ".join(f"({vec}[{i + 1}] * ({w!r}))" for i, w in enumerate(weights)) + ")"
+
+
+def _srp_band_keys_sql() -> list[str]:
+    from facebook_crawler_spark.operators.similarity import make_planes
+
+    keys = []
+    for b in range(_ND_BANDS):
+        planes = make_planes(_ND_DIM, _ND_PLANES, seed=_ND_SEED + b)
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql('v', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        keys.append(f"'{b}:' || ({bits})::VARCHAR")
+    return keys
+
+
+_COS_SQL = (
+    "round(CASE WHEN sqrt(list_dot_product({a}, {a})) > 0 AND sqrt(list_dot_product({b}, {b})) > 0"
+    " THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " ELSE 0.0 END, 6)"
+)
+
+
+def _embedding_near_dups_sql() -> str:
+    bands = ", ".join(_srp_band_keys_sql())
+    cos = _COS_SQL.format(a="ca.v", b="cb.v")
+    return (
+        "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),"
+        f" ex AS (SELECT vec_id, unnest([{bands}]) AS band FROM c),"
+        f" okb AS (SELECT band FROM ex GROUP BY band HAVING count(*) <= {_ND_MAXB}),"
+        " pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b"
+        "   FROM ex a JOIN ex b ON a.band = b.band AND a.vec_id < b.vec_id"
+        "   WHERE a.band IN (SELECT band FROM okb)),"
+        f" scored AS (SELECT p.id_a, p.id_b, {cos} AS cos_sim"
+        "   FROM pairs p JOIN c ca ON ca.vec_id = p.id_a JOIN c cb ON cb.vec_id = p.id_b)"
+        f" SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_ND_THRESH}"
+    )
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_fixed_centroids()
+    d2s = [
+        "("
+        + " + ".join(
+            f"((v[{i + 1}] - ({x!r})) * (v[{i + 1}] - ({x!r})))" for i, x in enumerate(c)
+        )
+        + ")"
+        for c in cents
+    ]
+    ds = "[" + ", ".join(d2s) + "]"
+    probe = (
+        f"list_transform(list_sort(list_transform(range(0, {_IVF_K}),"
+        " i -> {'d': ds[i+1], 'i': i}))"
+        f"[1:{_IVF_PROBE}], s -> s['i'])"
+    )
+    cos = _COS_SQL.format(a="a.v", b="q.qv")
+    return (
+        "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),"
+        f" d AS (SELECT vec_id, v, {ds} AS ds FROM c),"
+        " assigned AS (SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell FROM d),"
+        f" q AS (SELECT vec_id AS query_id, v AS qv, unnest({probe}) AS cell FROM d WHERE vec_id < 5),"
+        f" scored AS (SELECT q.query_id, a.vec_id, {cos} AS cos_sim"
+        "   FROM assigned a JOIN q ON a.cell = q.cell),"
+        " ranked AS (SELECT *, row_number() OVER"
+        "   (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)"
+        f" SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {_IVF_TOPK}"
+    )
+
+
+def _simhash_sql(max_hamming: int = 3, max_bucket: int = 200) -> str:
+    hexs = "0123456789abcdef"
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+    bit_exprs = []
+    for j in range(64):
+        p = 16 - j // 4  # 1-based hex char holding bit j (hex digit = 4 bits)
+        s = 1 << (j % 4)
+        cond = f"((strpos('{hexs}', substr(md5(t), {p}, 1)) - 1) // {s}) % 2 = 1"
+        cnt = f"len(list_filter(toks, t -> {cond}))"
+        bit_exprs.append(f"(CASE WHEN 2 * {cnt} > n THEN 1 ELSE 0 END)")
+    bits_list = "[" + ", ".join(bit_exprs) + "]"
+    band_keys = ", ".join(
+        f"'{b}:' || ("
+        + " + ".join(f"(bits[{16 * b + j + 1}] * {1 << j})" for j in range(16))
+        + ")::VARCHAR"
+        for b in range(4)
+    )
+    return (
+        f"WITH t0 AS (SELECT doc_id, {toks} AS toks FROM documents),"
+        " t1 AS (SELECT doc_id, toks, len(toks) AS n FROM t0),"
+        f" bt AS (SELECT doc_id, {bits_list} AS bits FROM t1),"
+        f" ex AS (SELECT doc_id, unnest([{band_keys}]) AS bucket FROM bt),"
+        f" okb AS (SELECT bucket FROM ex GROUP BY bucket HAVING count(*) <= {max_bucket}),"
+        " pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        "   FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        "   WHERE a.bucket IN (SELECT bucket FROM okb)),"
+        " h AS (SELECT p.id_a, p.id_b,"
+        "   len(list_filter(range(1, 65), i -> ba.bits[i] != bb.bits[i])) AS hamming"
+        "   FROM pairs p JOIN bt ba ON ba.doc_id = p.id_a JOIN bt bb ON bb.doc_id = p.id_b)"
+        f" SELECT id_a, id_b, hamming FROM h WHERE hamming <= {max_hamming}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "delta_anti_join": (
@@ -537,9 +928,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events ORDER BY ts ASC, event_id ASC LIMIT 100"
         ),
         "chunking": (
-            "SELECT batch, count(*) AS n, min(event_id) AS first_id FROM ("
-            "  SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) // 50 AS batch FROM events"
-            ") GROUP BY batch"
+            "SELECT user_id, batch, count(*) AS n, min(event_id) AS first_id FROM ("
+            "  SELECT user_id, event_id,"
+            "  (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 50 AS batch"
+            "  FROM events"
+            ") GROUP BY user_id, batch"
         ),
         "per_key_max": (
             "SELECT user_id, event_id, round(value, 6) AS best_value FROM ("
@@ -624,17 +1017,7 @@ def oracle_sql() -> dict[str, str]:
             "  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)"
             " SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3"
         ),
-        "embedding_near_dups": (
-            "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
-            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
-            "  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0"
-            "        THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-            "        ELSE 0.0 END, 6) AS cos_sim"
-            " FROM c a JOIN c b ON a.vec_id < b.vec_id"
-            " WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0"
-            "       THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-            "       ELSE 0.0 END, 6) >= 0.34"
-        ),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "lang_id": _LANG_CTE + (
             "SELECT CASE WHEN greatest(r_en, r_de, r_fr) = 0 THEN 'und'"
             "  WHEN r_en >= r_de AND r_en >= r_fr THEN 'en'"
@@ -692,5 +1075,108 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT user_id, event_type,"
             "       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
             "   FROM events) GROUP BY user_id"
+        ),
+        "simhash_pairs": _simhash_sql(),
+        "ivf_ann_topk": _ivf_sql(),
+        # --- extraction family: closed-form ground truth from doc_id -------
+        "seller_parse": (
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 11 = 0 THEN NULL ELSE printf('seller_%d', doc_id % 500) END AS sellerId,"
+            " CASE WHEN doc_id % 11 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'User' ELSE 'Page' END AS sellerType"
+            " FROM documents"
+        ),
+        "image_links": (
+            # coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+            "SELECT doc_id, doc_id % 4 AS n_links,"
+            " coalesce(array_to_string(list_transform(range(1, doc_id % 4 + 1),"
+            "   j -> printf('https://scontent.example/%d_%d.jpg', doc_id, j)), '|'), '') AS links_joined"
+            " FROM documents"
+        ),
+        "boosted_cleanup": (
+            "SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'true' WHEN 1 THEN 'false'"
+            " WHEN 3 THEN 'true' ELSE NULL END AS is_boosted FROM documents"
+        ),
+        "pdp_map": (
+            "SELECT doc_id, printf('%d Beds', doc_id % 5 + 1) AS bed,"
+            " printf('%d Baths', doc_id % 3 + 1) AS bath FROM documents"
+        ),
+        "automotive_parse": (
+            "SELECT doc_id,"
+            " printf('make%d', doc_id % 9) AS make,"
+            " printf('model %d', doc_id % 17) AS model,"
+            " ((doc_id * 37) % 200000)::VARCHAR AS mileage,"
+            " lower((['Diesel','Petrol','Electric','Hybrid'])[(doc_id % 4 + 1)]) AS fuelType,"
+            " lower((['Excellent','Good','Fair'])[(doc_id % 3 + 1)]) AS condition,"
+            " lower((['Black','White','Silver','Blue','Red','Grey'])[(doc_id % 6 + 1)]) AS bodyColor,"
+            " lower((['Black','White','Silver','Blue','Red','Grey'])[((doc_id + 1) % 6 + 1)]) AS interiorColor,"
+            " lower((['Manual','Automatic'])[(doc_id % 2 + 1)]) AS transmissionType,"
+            " printf('%d PS', doc_id % 300 + 50) AS hp"
+            " FROM documents"
+        ),
+        "relative_dates": (
+            "SELECT doc_id, 1700006400 - (doc_id % 11 + 1) *"
+            " (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 30 END) * 86400 AS rel_epoch"
+            " FROM documents"
+        ),
+        "url_states": (
+            "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'blocked' WHEN 1 THEN 'gone'"
+            " WHEN 2 THEN 'gone' ELSE 'alive' END AS state FROM documents"
+        ),
+        "sold_flags": (
+            "SELECT doc_id, doc_id % 7 = 0 AS sold FROM documents"
+        ),
+        "start_url_build": (
+            "SELECT doc_id, printf("
+            "'https://www.facebook.com/marketplace/city-%03d/%s?maxPrice=%d&minPrice=%d',"
+            " doc_id % 99, (['propertyrentals','propertyforsale','vehicles'])[(doc_id % 3 + 1)],"
+            " (doc_id % 9 + 1) * 1000, (doc_id % 9) * 500) AS start_url FROM documents"
+        ),
+        "price_band_unpack": (
+            "SELECT doc_id, (doc_id % 9) * 500 AS min_price,"
+            " (doc_id % 9 + 1) * 1000 AS max_price FROM documents"
+        ),
+        "html_extract_struct": (
+            "SELECT doc_id,"
+            " printf('Listing %d', doc_id) ||"
+            "   CASE WHEN doc_id % 7 = 0 THEN ' - Sold' ELSE '' END AS title,"
+            " CASE WHEN doc_id % 11 = 0 THEN NULL ELSE printf('seller_%d', doc_id % 500) END AS sellerId,"
+            " CASE WHEN doc_id % 11 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'User' ELSE 'Page' END AS sellerType,"
+            " coalesce(array_to_string(list_transform(range(1, doc_id % 4 + 1),"
+            "   j -> printf('https://scontent.example/%d_%d.jpg', doc_id, j)), '|'), '') AS links_joined,"
+            " CASE doc_id % 5 WHEN 0 THEN 'true' WHEN 1 THEN 'false'"
+            "   WHEN 3 THEN 'true' ELSE NULL END AS isBoosted,"
+            " (doc_id % 7 = 0 OR doc_id % 13 = 0) AS is_sold"
+            " FROM documents"
+        ),
+        "scroll_grid_parse": (
+            "SELECT doc_id AS page_id, (doc_id * 10 + j)::VARCHAR AS adId,"
+            " printf('https://www.facebook.com/marketplace/item/%d', doc_id * 10 + j) AS url,"
+            " printf('CHF %d', (doc_id + j * 100) % 1000) AS price,"
+            " printf('city-%03d', (doc_id + j) % 50) AS city,"
+            " (['ZH','BE','LU','UR','SZ','OW','NW','GL','ZG','FR','SO','BS','BL','SH',"
+            "   'AR','AI','SG','GR','AG','TG','TI','VD','VS','NE','GE','JU'])"
+            "   [((doc_id + j) % 26 + 1)] AS cantonCode"
+            " FROM (SELECT doc_id, unnest(range(1, doc_id % 4 + 1)) AS j FROM documents)"
+            " WHERE NOT (doc_id % 5 = 0 AND j = 1)"
+        ),
+        "enrichment_join": (
+            "SELECT doc_id AS page_id, (doc_id * 10 + j)::VARCHAR AS adId,"
+            " printf('CHF %d', (doc_id + j * 100) % 1000) AS price, source, lang"
+            " FROM (SELECT doc_id, source, lang, unnest(range(1, doc_id % 4 + 1)) AS j"
+            "       FROM documents)"
+            " WHERE NOT (doc_id % 5 = 0 AND j = 1)"
+        ),
+        # --- source/sink round trips: oracle = same aggregate on the source
+        "jsonl_roundtrip": (
+            "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars"
+            " FROM documents GROUP BY lang"
+        ),
+        "latest_partition": (
+            "SELECT count(*) AS n, sum(n_chars) AS sum_chars, 13 AS picked_day"
+            " FROM documents WHERE doc_id % 5 = 0"
+        ),
+        "csv_dimension": (
+            "SELECT c_custkey, printf('city-%03d', c_custkey % 100) AS city"
+            " FROM customer WHERE c_custkey % 100 < 60"
         ),
     }

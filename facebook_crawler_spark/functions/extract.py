@@ -62,8 +62,11 @@ def seller_of(html: Column) -> Column:
     JSON (reference parsers/base_parser.py:48-56, F4). Returns a struct."""
     actors_json = F.regexp_extract(html, r'"actors":(\[.*?\])', 1)
     parsed = F.from_json(actors_json, "array<struct<id:string,__typename:string>>")
+    # F.get (not [0]): empty actor arrays must yield NULL, not an ANSI
+    # INVALID_ARRAY_INDEX throw
+    first = F.get(parsed, 0)
     return F.struct(
-        parsed[0]["id"].alias("sellerId"), parsed[0]["__typename"].alias("sellerType")
+        first["id"].alias("sellerId"), first["__typename"].alias("sellerType")
     )
 
 

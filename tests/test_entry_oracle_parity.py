@@ -52,10 +52,9 @@ def _normalize(cols, rows):
 QUERY_NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
 
 
-def test_every_query_has_oracle_or_is_documented():
+def test_every_query_has_oracle():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    # only genuinely non-SQL-expressible ops may omit an oracle
-    assert missing <= {"simhash_pairs", "ivf_ann_topk"}, f"unexpected oracle-less queries: {missing}"
+    assert missing == set(), f"oracle-less queries: {missing}"
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
