@@ -484,8 +484,8 @@ def q_pdp_map(spark, sf):
     m = pdp_fields_of(F.col("html"))
     return p.select(
         "doc_id",
-        F.element_at(m, "bed").alias("bed"),
-        F.element_at(m, "bath").alias("bath"),
+        F.element_at(m, "bedrooms-bathrooms").alias("bed_bath"),
+        F.element_at(m, "building-city").alias("ptype"),
     )
 
 
@@ -668,6 +668,42 @@ def q_csv_dimension(spark, sf):
     )
 
 
+_DAILY_ROUND_TS = "2023-11-15 12:00:00"  # epoch 1700049600 (UTC)
+
+
+def q_daily_snapshot(spark, sf):
+    """M-composed: the full daily pipeline (reference main.py:11-43) over an
+    orders-derived snapshot/scroll pair — dedup + canton filter + delta/
+    overlap/missing + to_check split + detail parse (html fixture) +
+    availability re-check + snapshot merge. Oracle replays every stage in
+    closed form."""
+    from facebook_crawler_spark.pipelines import daily
+    from facebook_crawler_spark.sources import html_fixture as hf
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.format_string("ad_%010d", F.col("o_orderkey")).alias("adId"),
+        F.to_timestamp("o_orderdate").alias("last_check"),
+        F.format_string("listing %d", F.col("o_orderkey")).alias("title"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in hf.CANTONS + ["X0", "X1", "X2", "X3"]]),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("cantonCode"),
+        F.lit(0).alias("file_seq"),
+    )
+    snapshot = o.filter(F.col("k") % 2 == 0).drop("k")
+    scroll = o.filter(F.col("k") % 3 == 0).drop("k")
+    cantons = spark.createDataFrame([(c,) for c in hf.CANTONS], ["cantonCode"])
+    res = daily.daily_snapshot(
+        snapshot, scroll, cantons,
+        fetch_detail=hf.pages_for_listings, fetch_recheck=hf.pages_for_listings,
+        category="propertyrentals", check_cap=50, round_ts=_DAILY_ROUND_TS,
+    )
+    return res["snapshot_t0"].select(
+        "adId", "title", "rooms", F.unix_timestamp("last_check").alias("lc_epoch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "delta_anti_join": q_delta_anti_join,
@@ -719,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "latest_partition": q_latest_partition,
         "csv_dimension": q_csv_dimension,
+        "daily_snapshot": q_daily_snapshot,
     }
 
 
@@ -1097,8 +1134,8 @@ def oracle_sql() -> dict[str, str]:
             " WHEN 3 THEN 'true' ELSE NULL END AS is_boosted FROM documents"
         ),
         "pdp_map": (
-            "SELECT doc_id, printf('%d Beds', doc_id % 5 + 1) AS bed,"
-            " printf('%d Baths', doc_id % 3 + 1) AS bath FROM documents"
+            "SELECT doc_id, printf('%d Beds · %d Baths', doc_id % 5 + 1, doc_id % 3 + 1) AS bed_bath,"
+            " (['Apartment','House'])[(doc_id % 2 + 1)] AS ptype FROM documents"
         ),
         "automotive_parse": (
             "SELECT doc_id,"
@@ -1178,5 +1215,24 @@ def oracle_sql() -> dict[str, str]:
         "csv_dimension": (
             "SELECT c_custkey, printf('city-%03d', c_custkey % 100) AS city"
             " FROM customer WHERE c_custkey % 100 < 60"
+        ),
+        "daily_snapshot": (
+            "WITH base AS (SELECT o_orderkey AS k, printf('ad_%010d', o_orderkey) AS adId,"
+            "   CAST(floor(epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS lc FROM orders),"
+            " snap AS (SELECT * FROM base WHERE k % 2 = 0),"
+            " delta AS (SELECT * FROM base WHERE k % 3 = 0 AND k % 30 < 26 AND k % 2 != 0),"
+            " ov AS (SELECT * FROM snap WHERE k % 3 = 0 AND k % 30 < 26),"
+            " miss AS (SELECT *, row_number() OVER (ORDER BY lc, adId) AS rn FROM snap"
+            "   WHERE NOT (k % 3 = 0 AND k % 30 < 26)),"
+            " parsed AS (SELECT adId,"
+            "   printf('Listing %d', k) || CASE WHEN k % 7 = 0 THEN ' - Sold' ELSE '' END AS title,"
+            "   printf('%d Beds', k % 5 + 1) AS rooms, lc FROM delta WHERE k % 13 != 0),"
+            " avail AS (SELECT adId, printf('listing %d', k) AS title,"
+            "   NULL AS rooms, 1700049600 AS lc FROM miss"
+            "   WHERE rn <= 50 AND k % 4 = 3 AND k % 7 != 0)"
+            " SELECT adId, title, rooms, lc AS lc_epoch FROM parsed"
+            " UNION ALL SELECT adId, printf('listing %d', k), NULL, lc FROM ov"
+            " UNION ALL SELECT adId, title, rooms, lc FROM avail"
+            " UNION ALL SELECT adId, printf('listing %d', k), NULL, lc FROM miss WHERE rn > 50"
         ),
     }

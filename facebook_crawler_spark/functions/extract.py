@@ -102,6 +102,11 @@ def pdp_fields_of(html: Column) -> Column:
     )
 
 
+def description_of(html: Column) -> Column:
+    """Redacted-description extract (reference parsers/property_parser.py:63-66)."""
+    return regex_search_between_lazy(html, '"redacted_description":{"text":"', '"')
+
+
 def split_part_trim(col: Column, delim: str, idx: int) -> Column:
     """split + element_at + trim (reference parsers/property_parser.py:92-101,
     scroll_parser.py:48-51; F8/F13). NULL-safe on short arrays."""

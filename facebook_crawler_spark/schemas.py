@@ -123,3 +123,52 @@ LISTING = StructType(
         StructField("file_seq", IntegerType(), True),
     ]
 )
+
+
+def _extend(base: StructType, extra: list[StructField]) -> StructType:
+    return StructType(list(base.fields) + extra)
+
+
+# Category record extensions — typed analogs of the reference's pydantic
+# subclasses. Scalars stay strings where the reference keeps raw page text.
+#
+# AutomotiveRecord (reference schemas/automotive_schemas.py:4-17):
+AUTOMOTIVE_RECORD = _extend(
+    LISTING,
+    [
+        StructField("type", StringType(), True),  # constant 'automotive'
+        StructField("vehicleType", StringType(), True),  # constant 'vehicle'
+        StructField("condition", StringType(), True),
+        StructField("conditionType", StringType(), True),
+        StructField("originalCategoryId", StringType(), True),
+        StructField("mileage", StringType(), True),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("hp", StringType(), True),
+        StructField("fuelType", StringType(), True),
+        StructField("bodyColor", StringType(), True),
+        StructField("interiorColor", StringType(), True),
+        StructField("transmissionType", StringType(), True),
+    ],
+)
+
+# PropertyRecord + ForRent/ForSale (reference schemas/property_schemas.py:4-21):
+PROPERTY_RECORD = _extend(
+    LISTING,
+    [
+        StructField("type", StringType(), True),  # constant 'property'
+        StructField("saleType", StringType(), True),  # 'rent' | 'sale'
+        StructField("originalCategoryId", StringType(), True),
+        StructField("address", StringType(), True),
+        StructField("propertyType", StringType(), True),
+        StructField("livingSpace", StringType(), True),
+        StructField("rooms", StringType(), True),
+        StructField("bathrooms", StringType(), True),
+        StructField("parking", StringType(), True),
+    ],
+)
+
+# reference schemas/automotive_schemas.py:9 / property_schemas.py:8,14-21
+AUTOMOTIVE_CATEGORY_ID = "807311116002614"
+PROPERTY_RENT_CATEGORY_ID = "807311116002614"
+PROPERTY_SALE_CATEGORY_ID = "821056594720130"

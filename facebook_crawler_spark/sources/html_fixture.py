@@ -29,6 +29,8 @@ COLORS = ["Black", "White", "Silver", "Blue", "Red", "Grey"]
 TRANS = ["Manual", "Automatic"]
 UNITS = ["days", "weeks", "months"]
 CATS = ["propertyrentals", "propertyforsale", "vehicles"]
+PTYPES = ["Apartment", "House"]
+PARKING = ["Garage", "Street", "None"]
 CANTONS = (
     "ZH BE LU UR SZ OW NW GL ZG FR SO BS BL SH AR AI SG GR AG TG TI VD VS NE GE JU"
 ).split()
@@ -93,11 +95,15 @@ def html_page(d: Column) -> Column:
     )
     pdp = F.format_string(
         '"pdp_display_sections":[{"pdp_fields":['
-        '{"icon_name":"bed","display_label":"%d Beds"},'
-        '{"icon_name":"bath","display_label":"%d Baths"}]}]',
+        '{"icon_name":"bedrooms-bathrooms","display_label":"%d Beds · %d Baths"},'
+        '{"icon_name":"building-city","display_label":"%s"},'
+        '{"icon_name":"car","display_label":"%s"}]}]',
         d % 5 + 1,
         d % 3 + 1,
+        _pick(PTYPES, d % 2),
+        _pick(PARKING, d % 3),
     )
+    desc = F.format_string('"redacted_description":{"text":"Desc %d"}', d)
     auto = F.format_string(
         '"vehicle_make_display_name":"Make%d","vehicle_model_display_name":"Model %d",'
         '"vehicle_odometer_data":{"value":%d,"unit":"KILOMETERS"},"vehicle_fuel_type":"%s",'
@@ -121,7 +127,7 @@ def html_page(d: Column) -> Column:
         F.lit("<html><head>"),
         head_title,
         F.lit("</head><body><script>{"),
-        F.concat_ws(",", title_json, actors, photos, boosted, pdp, auto),
+        F.concat_ws(",", title_json, actors, photos, boosted, pdp, desc, auto),
         F.lit("}</script>"),
         date_span,
         rented,
@@ -173,6 +179,13 @@ def grid_html(d: Column) -> Column:
         k >= 1, F.concat_ws("", F.transform(F.sequence(F.lit(1), k), item))
     ).otherwise(F.lit(""))
     return F.concat(F.lit("<html><body>"), items, F.lit("</body></html>"))
+
+
+def pages_for_listings(df: DataFrame, ad_col: str = "adId") -> DataFrame:
+    """Attach fixture html + final_url keyed by the numeric part of adId —
+    the synthetic per-listing 'fetch' for the composed daily pipeline."""
+    num = F.regexp_extract(F.col(ad_col), r"(\d+)", 1).cast("long")
+    return df.withColumn("html", html_page(num)).withColumn("final_url", final_url(num))
 
 
 def detail_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
