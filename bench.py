@@ -130,6 +130,10 @@ def run_frontier(spark) -> dict:
         dt = time.perf_counter() - t0
         total_sched = sum(s["scheduled"] for s in stats)
         total_fetch = sum(s["fetched"] for s in stats)
+        phases: dict[str, float] = {}
+        for s in stats:
+            for k, v in s.get("timings", {}).items():
+                phases[k] = round(phases.get(k, 0.0) + v, 3)
         return {
             "urls": FRONTIER_URLS,
             "seed_sec": round(t_seed, 3),
@@ -138,6 +142,7 @@ def run_frontier(spark) -> dict:
             "scheduled": total_sched,
             "fetched": total_fetch,
             "urls_per_sec": round(total_sched / dt, 1) if dt > 0 else 0.0,
+            "phase_sec": phases,
         }
     finally:
         shutil.rmtree(wd, ignore_errors=True)

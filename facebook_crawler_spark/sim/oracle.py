@@ -46,6 +46,9 @@ class SimResult:
     # (round, host, host_rank, url_hash) of successful fetches
     seen: set[int] = field(default_factory=set)
     rounds: int = 0
+    # (round, host, consecutive_errors) at the moment the quarantined bit
+    # flips — the ban-alert channel the engine's alerts table mirrors
+    quarantine_events: list[tuple[int, str, int]] = field(default_factory=list)
 
 
 def _fnv64_signed(s: str) -> int:
@@ -173,8 +176,9 @@ def simulate(
                 hs.consecutive_errors += trailing
             else:
                 hs.consecutive_errors = trailing
-            if hs.consecutive_errors >= hs.ban_threshold:
+            if hs.consecutive_errors >= hs.ban_threshold and not hs.quarantined:
                 hs.quarantined = True
+                res.quarantine_events.append((round_no, host, hs.consecutive_errors))
 
         # append this round's discoveries: first-wins within the round
         # (min seed_rank, canonical tiebreak), never replacing known URLs

@@ -47,13 +47,23 @@ class Table:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)["data_dirs"]
 
-    def _commit(self, data_dirs: list[str]) -> int:
+    def _commit(self, data_dirs: list[str], meta: dict | None = None) -> int:
         version = self.current_version() + 1
         tmp = os.path.join(self._commits, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "data_dirs": data_dirs}, fh)
+            json.dump({"version": version, "data_dirs": data_dirs, "meta": meta or {}}, fh)
         os.rename(tmp, self._manifest_path(version))  # the atomic commit point
         return version
+
+    def commit_meta(self, version: int | None = None) -> dict:
+        """Commit metadata (Iceberg snapshot-summary analog), e.g. the crawl
+        round a host_state overwrite belongs to — lets a resumed round pin
+        its input to the pre-round snapshot."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {}
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh).get("meta") or {}
 
     # -- write --------------------------------------------------------------
     def _write_data(self, df: DataFrame) -> str:
@@ -62,12 +72,19 @@ class Table:
         return d
 
     def append(self, df: DataFrame) -> int:
+        """Append a commit; a write that produced no parquet part files
+        (empty DataFrame, AQE-coalesced to zero partitions) is a no-op —
+        committing a part-less dir would poison every subsequent read with
+        an unable-to-infer-schema failure."""
         new_dir = self._write_data(df)
+        if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return self.current_version()
         prev = self._read_manifest(self.current_version()) if self.current_version() else []
         return self._commit(prev + [new_dir])
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit([self._write_data(df)])
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit([self._write_data(df)], meta=meta)
 
     def init_empty(self, df_schema_source: DataFrame) -> int:
         """Commit an empty snapshot with the given schema."""

@@ -147,6 +147,9 @@ class CrawlEngine:
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
         self.ledger = Table(os.path.join(workdir, "round_ledger"))
+        # quarantine-transition events (host, round, reason) — the alert
+        # channel (reference utils/aleritna.py:28-43)
+        self.alerts = Table(os.path.join(workdir, "alerts"))
         # driver-side caches — pure accelerators; all state of record lives
         # in the tables, so a fresh engine (resume) reconstructs them
         self._round: int | None = None
@@ -221,10 +224,19 @@ class CrawlEngine:
     def _seen(self) -> DataFrame | None:
         """The ok-url_hash set. State of record is the fetched table; the
         in-memory handle is an accelerator that a resumed engine rebuilds
-        from the table."""
+        from the table — restricted to LEDGER-BARRIERED rounds: a crash
+        between the data append and the ledger commit leaves the interrupted
+        round's rows in the table, and a re-run that counted them as seen
+        would schedule the NEXT round's URLs under the crashed round's
+        number, diverging from the uninterrupted run."""
         if self._seen_df is None and self.fetched.exists():
             self._seen_df = (
-                self.fetched.read(self.spark).filter(F.col("status") == "ok").select("url_hash")
+                self.fetched.read(self.spark)
+                .filter(
+                    (F.col("status") == "ok")
+                    & (F.col("fetch_round") <= F.lit(self.committed_round()))
+                )
+                .select("url_hash")
             )
         return self._seen_df
 
@@ -318,19 +330,46 @@ class CrawlEngine:
         rows = salted.select(
             "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
             "priority", "seed_rank", F.lit(round_no).alias("discovered_round"),
-        ).cache()
-        n_new = rows.count()
-        if n_new:
-            self.frontier.append(rows)
-            if self._frontier_df is not None:
-                self._frontier_df.unpersist()
-                self._frontier_df = None  # re-read (and re-persist) with children
-        rows.unpersist()
+        )
+        # the count rides the append write via an Observation (one job, not
+        # count-then-append two); an all-dup round's append is a commit-level
+        # no-op (Table.append skips part-less writes)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        self.frontier.append(rows)
+        n_new = int(obs.get["n"] or 0)
+        if n_new and self._frontier_df is not None:
+            self._frontier_df.unpersist()
+            self._frontier_df = None  # re-read (and re-persist) with children
         return n_new
 
     def run_round(self) -> dict[str, int]:
+        import time
+
+        tmark: dict[str, float] = {}
+        t_last = time.perf_counter()
+
+        def mark(name: str) -> None:
+            nonlocal t_last
+            now = time.perf_counter()
+            tmark[name] = round(now - t_last, 3)
+            t_last = now
+
         round_no = self.committed_round() + 1
-        state = self.host_state.read(self.spark)
+        # Pin the state INPUT to the pre-round snapshot: if a crashed run
+        # already overwrote host_state for this round (commit meta carries
+        # the round), the re-run must recompute from version-1, or the
+        # consecutive-error update would be applied twice.
+        state_v = self.host_state.current_version()
+        if (
+            self._fresh_process
+            and self.host_state.commit_meta(state_v).get("round") == round_no
+        ):
+            state = self.host_state.read(self.spark, version=state_v - 1)
+        else:
+            state = self.host_state.read(self.spark)
         quarantined = state.filter(F.col("quarantined")).select("host")
         budgets = state.filter(~F.col("quarantined")).select(
             "host", F.col("token_rate").alias("budget")
@@ -399,11 +438,22 @@ class CrawlEngine:
             # bytes were still fetched and verified above; they are just not
             # persisted in the committed table
             fetched = fetched.withColumn("bytes", F.lit(None).cast("binary"))
+        # Round stats ride the fetched append via an Observation — zero
+        # extra jobs (previously a separate .first() aggregation job per
+        # round, one of the core-count-independent per-round barriers).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        fetched = fetched.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        )
         # One materialization for the whole round: every consumer below
-        # (stats agg, host outcomes, lineage, the table writes, the seen
-        # union) reads the columnar cache. (localCheckpoint here measured
-        # ~2x slower: row-based block materialization loses the columnar
-        # batch format the downstream writes read best.)
+        # (host outcomes, lineage, the table writes, the seen union) reads
+        # the columnar cache. (localCheckpoint here measured ~2x slower:
+        # row-based block materialization loses the columnar batch format
+        # the downstream writes read best.)
         fetched = fetched.cache()
 
         # per-host outcome for the quarantine state machine
@@ -417,6 +467,20 @@ class CrawlEngine:
             F.col("last_ok").isNotNull().alias("any_ok"),
         )
         new_state = politeness.update_host_state(state, per_host)
+        # Quarantine-transition channel (the reference's proxy-ban alert,
+        # utils/aleritna.py:28-43): flag hosts whose quarantined bit flips
+        # this round. The transition count rides the host_state overwrite
+        # via a second Observation; the (rare) alert append only runs on
+        # rounds where a flip actually happened.
+        was_q = state.select("host", F.col("quarantined").alias("__was_q"))
+        staged_state = new_state.join(F.broadcast(was_q), "host", "left").withColumn(
+            "__is_trans",
+            F.col("quarantined") & ~F.coalesce(F.col("__was_q"), F.lit(False)),
+        )
+        state_obs = Observation()
+        staged_state = staged_state.observe(
+            state_obs, F.sum(F.col("__is_trans").cast("int")).alias("n_trans")
+        )
 
         lineage = fetched.groupBy("partition_id").agg(
             F.count("*").alias("scheduled"),
@@ -428,40 +492,70 @@ class CrawlEngine:
             "errors", "hosts_touched", F.current_timestamp().alias("committed_at"),
         )
 
-        agg = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-        ).first()
-        n_sched = int(agg.n)
-        n_ok = int(agg.ok) if agg.ok is not None else 0
-
         # Commit protocol (ST2): data first, ledger last. The ledger commit
         # is the round barrier — a crash in between leaves data for a round
-        # the ledger doesn't know about, and the guard below makes the
-        # re-run skip the (byte-identical, deterministic) data append, so a
+        # the ledger doesn't know about, and the guards below make the
+        # re-run skip the (byte-identical, deterministic) appends, so a
         # resumed run converges to exactly the uninterrupted tables. Only a
         # freshly (re)started process can be in that half-committed state,
-        # so steady-state rounds skip the probe.
+        # so steady-state rounds skip the probes.
         already_written = (
             self._fresh_process
             and self.fetched.exists()
             and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
         )
+        already_alerted = (
+            self._fresh_process
+            and self.alerts.exists()
+            and self.alerts.read(self.spark).filter(F.col("round") == round_no).limit(1).count() > 0
+        )
         self._fresh_process = False
+        mark("plan")
+
+        if not already_written:
+            # The append IS the round's materializing action: it fills the
+            # cache and the stats Observation in the same job. An empty
+            # round's append is a commit-level no-op (Table.append skips
+            # part-less writes), so no pre-count is needed.
+            self.fetched.append(fetched)
+            n_sched = int(obs.get["n"] or 0)
+            n_ok = int(obs.get["ok"] or 0)
+        else:
+            agg = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            ).first()
+            n_sched = int(agg.n)
+            n_ok = int(agg.ok) if agg.ok is not None else 0
+        mark("fetch_commit")
+
+        n_alerts = 0
         if n_sched > 0:
-            if not already_written:
-                self.fetched.append(fetched)
-            # host_state.overwrite is deterministic and idempotent (pure
-            # function of previous state + this round's outcomes), so it is
-            # NOT guarded by already_written: a crash between fetched.append
-            # and this overwrite would otherwise leave host_state one round
-            # stale on resume, diverging quarantine counters from the
-            # uninterrupted run.
-            self.host_state.overwrite(new_state)
+            # host_state.overwrite is deterministic given the PINNED state
+            # input (see round start), so it runs unconditionally on re-runs;
+            # the commit meta records which round it belongs to.
+            self.host_state.overwrite(
+                staged_state.select(
+                    "host", "token_rate", "ban_threshold", "consecutive_errors", "quarantined"
+                ),
+                meta={"round": round_no},
+            )
+            n_alerts = int(state_obs.get["n_trans"] or 0)
+            if n_alerts and not already_alerted:
+                self.alerts.append(
+                    staged_state.filter("__is_trans").select(
+                        F.lit(round_no).alias("round"),
+                        "host",
+                        "consecutive_errors",
+                        F.lit("ban_threshold_reached").alias("reason"),
+                    )
+                )
+        mark("state_commit")
         n_disc = 0
         if self.discovery is not None and n_ok > 0:
             # before the ledger barrier (see _expand_discoveries docstring)
             n_disc = self._expand_discoveries(selected, fetched, round_no)
+        mark("discovery")
         if n_sched > 0:
             self.ledger.append(lineage)
         else:
@@ -470,17 +564,26 @@ class CrawlEngine:
                 "round int, partition_id int, scheduled bigint, fetched bigint, errors bigint, hosts_touched bigint",
             ).withColumn("committed_at", F.current_timestamp())
             self.ledger.append(empty)
+        mark("ledger")
         if n_ok > 0:
             # accumulate while this round's `fetched` is still cached; the
             # union is materialized inside _accumulate_seen before the
             # cache below is released
             new_hashes = fetched.filter(F.col("status") == "ok").select("url_hash")
             self._accumulate_seen(new_hashes)
+        mark("seen")
         selected.unpersist()
         fetched.unpersist()
         self._round = round_no
         self._seen_rows = (self._seen_rows or 0) + n_ok
-        return {"round": round_no, "scheduled": n_sched, "fetched": n_ok, "discovered": n_disc}
+        return {
+            "round": round_no,
+            "scheduled": n_sched,
+            "fetched": n_ok,
+            "discovered": n_disc,
+            "quarantine_alerts": n_alerts,
+            "timings": tmark,
+        }
 
     def run(self, max_rounds: int = 1000) -> list[dict[str, int]]:
         """Drive rounds until the frontier is drained (or only quarantined/

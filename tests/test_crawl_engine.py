@@ -130,6 +130,68 @@ def test_resume_after_kill_is_identical(spark, world, engine_run, tmp_path_facto
     assert s1 == s2
 
 
+def test_quarantine_alerts_match_simulator_and_survive_resume(spark, tmp_path_factory):
+    """ST4/A4 alert channel: the alerts table's quarantine-transition rows
+    (round, host, consecutive_errors) equal the simulator's events, and a
+    crash after the host_state overwrite but BEFORE the ledger commit (the
+    nastiest window: state already advanced, round not barriered) resumes
+    to identical tables — the state input is pinned via commit metadata."""
+    import os
+
+    n, n_img = 600, 300
+    images = syn.gen_images(spark, n_img, partitions=4).cache()
+    hosts = syn.gen_hosts(spark, 8, token_rate=10, ban_threshold=4)
+    seeds = syn.gen_frontier_seeds(spark, n, n_images=n_img, n_hosts=8)
+
+    def run_all(wd, interrupt_after=None):
+        eng = CrawlEngine(spark, wd, images, hosts, error_permille=450)
+        eng.seed(seeds)
+        if interrupt_after is not None:
+            for _ in range(interrupt_after):
+                eng.run_round()
+            # crash injection: roll back the LEDGER barrier only — data,
+            # host_state (with round meta) and alerts stay committed
+            last = eng.ledger.current_version()
+            os.remove(eng.ledger._manifest_path(last))
+            eng2 = CrawlEngine(spark, wd, images, hosts, error_permille=450)
+            assert eng2.committed_round() == interrupt_after - 1
+            eng2.run(max_rounds=40)
+            return eng2
+        eng.run(max_rounds=40)
+        return eng
+
+    wd_full = str(tmp_path_factory.mktemp("alerts_full"))
+    eng_full = run_all(wd_full)
+    sim = _sim_result_permille(spark, eng_full, hosts, permille=450)
+    assert sim.quarantine_events, "fixture must actually quarantine hosts"
+
+    def alert_rows(eng):
+        return {
+            (r.round, r.host, r.consecutive_errors) for r in eng.alerts.read(spark).collect()
+        }
+
+    assert alert_rows(eng_full) == set(sim.quarantine_events)
+
+    wd_kill = str(tmp_path_factory.mktemp("alerts_killed"))
+    eng_resumed = run_all(wd_kill, interrupt_after=3)
+    assert alert_rows(eng_resumed) == set(sim.quarantine_events)
+    full = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng_full.crawl_order().collect()}
+    resumed = {
+        (r.round, r.host, r.host_rank, r.url_hash) for r in eng_resumed.crawl_order().collect()
+    }
+    assert full == resumed
+    # final host_state identical too (quarantine counters converged)
+    s_full = {tuple(r) for r in eng_full.host_state.read(spark).collect()}
+    s_res = {tuple(r) for r in eng_resumed.host_state.read(spark).collect()}
+    assert s_full == s_res
+
+
+def _sim_result_permille(spark, eng, hosts, permille):
+    frontier_rows = [r.asDict() for r in eng.frontier.read(spark).collect()]
+    host_rows = [r.asDict() for r in hosts.collect()]
+    return simulate(frontier_rows, host_rows, error_permille=permille, max_rounds=40)
+
+
 def test_unknown_host_default_budget_matches_simulator(spark, tmp_path_factory):
     """Frontier hosts absent from the hosts dimension are scheduled with the
     simulator's default token_rate/ban_threshold (politeness.DEFAULT_*)
