@@ -42,6 +42,7 @@ TOKEN_RATE = int(os.environ.get("BENCH_TOKEN_RATE", "4000"))
 HOT_SHARE_PCT = int(os.environ.get("BENCH_HOT_SHARE_PCT", "10"))
 DIM_SPAN = int(os.environ.get("BENCH_DIM_SPAN", "9"))
 STORE_PAYLOADS = os.environ.get("BENCH_STORE_PAYLOADS", "1") == "1"
+VERIFY_PAYLOADS = os.environ.get("BENCH_VERIFY", "1") == "1"  # ablation knob
 
 # Scaling-evidence configuration (--scaling): the N→4N criterion needs a
 # CPU-dominated job — on a single box the shared disk caps payload-write IO
@@ -78,10 +79,19 @@ BENCH_QUERIES = [
 def _spark():
     from facebook_crawler_spark.session import get_spark
 
+    # BENCH_MASTER overrides the threads-in-one-JVM default; the scaling
+    # protocol passes local-cluster[N,cores,mem] so each "executor" is a
+    # real separate JVM with its own heap/GC/Python workers — the faithful
+    # single-box emulation of the north rule's N vs 4N executors.
+    master = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
+    extra = {}
+    if master.startswith("local-cluster"):
+        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     return get_spark(
         app_name="fcs-bench",
-        master=f"local[{CPUS}]",
+        master=master,
         shuffle_partitions=CPUS,
+        extra_conf=extra,
     )
 
 
@@ -117,7 +127,7 @@ def run_frontier(spark) -> dict:
     try:
         eng = CrawlEngine(
             spark, wd, images, hosts, error_permille=0, bloom_bits=1 << 23,
-            store_payloads=STORE_PAYLOADS,
+            store_payloads=STORE_PAYLOADS, verify_payloads=VERIFY_PAYLOADS,
         )
         # materialize inputs before the clock starts (generation is not fetch)
         images = images.cache()

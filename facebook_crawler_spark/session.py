@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bytes-based cap: payload-bearing rows (19KB images) get ~400-row
+        # batches — finer java/python pipelining per task; slim string rows
+        # keep the 10k cap. Measured on the fetch-verify round: 46s → 34s
+        # at local[32] vs the records-only default.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "8388608")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
