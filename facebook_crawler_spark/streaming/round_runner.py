@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from facebook_crawler_spark.functions.urls import canonicalize_urls, frontier_url_hash
 from facebook_crawler_spark.sources.tables import Table
 from facebook_crawler_spark.streaming import politeness
-from facebook_crawler_spark.streaming.seenset import build_bloom, split_by_bloom
+from facebook_crawler_spark.streaming.seenset import (
+    build_bloom,
+    build_cuckoo,
+    split_by_bloom,
+    split_by_cuckoo,
+)
 
 N_LINEAGE_BUCKETS = 64
 
@@ -120,6 +125,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 20,
         bloom_min_seen: int = 100_000,
+        seen_filter: str = "bloom",  # "bloom" | "cuckoo" (see seenset.py trade-off)
         cache_frontier: bool = True,
         verify_payloads: bool = True,
         store_payloads: bool = True,
@@ -136,6 +142,7 @@ class CrawlEngine:
         # bloom build+broadcast round trip; above it the bloom keeps the
         # anti-join input to the maybe-seen sliver (M5 scale path)
         self.bloom_min_seen = bloom_min_seen
+        self.seen_filter = seen_filter
         self.cache_frontier = cache_frontier
         self.verify_payloads = verify_payloads
         # verification-crawl variant: fetch + verify, keep captions/phash/
@@ -268,8 +275,14 @@ class CrawlEngine:
         if seen is None:
             return frontier
         if self.use_bloom and (self._seen_rows or 0) >= self.bloom_min_seen:
-            bloom = build_bloom(seen, m_bits=self.bloom_bits)
-            unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
+            if self.seen_filter == "cuckoo":
+                # size to ≤75% load: next power of two ≥ seen/3 (4 slots)
+                n_buckets = 1 << max(10, ((self._seen_rows or 1) // 3).bit_length())
+                table = build_cuckoo(seen, n_buckets=n_buckets)
+                unseen, maybe = split_by_cuckoo(frontier, table, n_buckets=n_buckets)
+            else:
+                bloom = build_bloom(seen, m_bits=self.bloom_bits)
+                unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
             return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
         return frontier.join(seen, "url_hash", "left_anti")
 

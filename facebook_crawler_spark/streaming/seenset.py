@@ -92,3 +92,136 @@ def split_by_bloom(
         flagged.filter(~F.col("__maybe")).drop("__maybe"),
         flagged.filter(F.col("__maybe")).drop("__maybe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo-filter variant (north_star: "merged via OR-reduce into a global
+# cuckoo filter"). Same routing contract as the bloom — (definitely_unseen,
+# maybe_seen), false positives only cost exact-join rows — but with a far
+# lower false-positive rate per bit (~8 × 2^-16 ≈ 1.2e-4 at 4-slot buckets
+# and 16-bit fingerprints vs ~1% for the same-size bloom), so the maybe-seen
+# sliver that reaches the anti-join shuffle is ~100x smaller.
+#
+# Build trade-off, stated honestly: a cuckoo table cannot be OR-merged the
+# way bloom bitmaps can (insertion does evictions), so the distributed build
+# collects per-partition DEDUPLICATED (bucket, fingerprint) pairs — a
+# collect proportional to the seen-set size (8 bytes/key), not to a fixed
+# filter size. That bounds this variant to seen sets whose fingerprint set
+# fits the driver (~10^8); beyond that the engine keeps the bloom (fixed
+# m/8 × #partitions collect) or shards cuckoo tables per partition range.
+# ---------------------------------------------------------------------------
+
+_FP_MUL = 0x5BD1E995
+
+
+def _cuckoo_parts(h: np.ndarray, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(i1, fp) for each int64 hash; fp is uint16 and never 0 (0 = empty)."""
+    h1 = np.abs(h.astype(np.int64).astype(object)) % MOD
+    h2 = (h1 * 0x9E3779B97F4A7C15 + 0x85EBCA6B) % MOD
+    fp = (h2.astype(np.uint64) >> np.uint64(20)).astype(np.uint64) & np.uint64(0xFFFF)
+    fp = np.where(fp == 0, 1, fp).astype(np.uint16)
+    i1 = (h1 % n_buckets).astype(np.int64)
+    return i1, fp
+
+
+def _alt_bucket(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partial-key alternate bucket: i ^ (mix(fp) masked). n_buckets must be
+    a power of two so the XOR is an involution (alt(alt(i)) == i)."""
+    return i ^ ((fp.astype(np.int64) * _FP_MUL) & (n_buckets - 1))
+
+
+def build_cuckoo(
+    df: DataFrame, hash_col: str = "url_hash", n_buckets: int = 1 << 17, slots: int = 4
+) -> bytes:
+    """Build a global cuckoo filter over df[hash_col].
+
+    Per-partition mapInPandas emits deduplicated (bucket, fp) pairs; the
+    driver places them with the standard evict loop (vectorized first-choice
+    pass, Python loop only for the overflow tail). Raises if load exceeds
+    capacity — callers size n_buckets ≥ n_keys / (slots × 0.95).
+    """
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = []
+        for pdf in batches:
+            if len(pdf):
+                i1, fp = _cuckoo_parts(pdf[hash_col].to_numpy(), n_buckets)
+                acc.append(np.stack([i1, fp.astype(np.int64)], axis=1))
+        if acc:
+            pairs = np.unique(np.concatenate(acc), axis=0)
+            yield pd.DataFrame({"pairs": [pairs.astype(np.int64).tobytes()]})
+
+    rows = df.select(hash_col).mapInPandas(per_partition, "pairs binary").collect()
+    if rows:
+        pairs = np.unique(
+            np.concatenate(
+                [np.frombuffer(r.pairs, dtype=np.int64).reshape(-1, 2) for r in rows]
+            ),
+            axis=0,
+        )
+    else:
+        pairs = np.empty((0, 2), dtype=np.int64)
+    if len(pairs) > n_buckets * slots * 0.95:
+        raise ValueError(f"cuckoo overfull: {len(pairs)} keys into {n_buckets}x{slots}")
+
+    table = np.zeros((n_buckets, slots), dtype=np.uint16)
+    counts = np.zeros(n_buckets, dtype=np.int32)
+    i1 = pairs[:, 0]
+    fp = pairs[:, 1].astype(np.uint16)
+    # vectorized first-choice pass: rank of each key within its i1 bucket
+    order = np.argsort(i1, kind="stable")
+    ranks = np.empty(len(i1), dtype=np.int64)
+    if len(i1):
+        sorted_i1 = i1[order]
+        start = np.r_[0, np.flatnonzero(np.diff(sorted_i1)) + 1]
+        grp = np.repeat(np.arange(len(start)), np.diff(np.r_[start, len(sorted_i1)]))
+        ranks[order] = np.arange(len(sorted_i1)) - start[grp]
+    direct = ranks < slots
+    table[i1[direct], ranks[direct]] = fp[direct]
+    np.add.at(counts, i1[direct], 1)
+    # overflow tail: classic evict loop (rare at sane load factors)
+    for i, f in zip(i1[~direct], fp[~direct]):
+        cur_i, cur_f = int(i), int(f)
+        for _ in range(1000):
+            alt = int(_alt_bucket(np.int64(cur_i), np.uint16(cur_f), n_buckets))
+            if counts[alt] < slots:
+                table[alt, counts[alt]] = cur_f
+                counts[alt] += 1
+                break
+            # evict a pseudo-random victim (deterministic: slot by fp)
+            v = cur_f % slots
+            cur_f, table[alt, v] = int(table[alt, v]), cur_f
+            cur_i = alt
+        else:
+            raise ValueError("cuckoo insertion failed; grow n_buckets")
+    return table.tobytes()
+
+
+def split_by_cuckoo(
+    candidates: DataFrame,
+    table: bytes,
+    hash_col: str = "url_hash",
+    n_buckets: int = 1 << 17,
+    slots: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_unseen, maybe_seen) via the broadcast cuckoo table; same
+    never-gambles contract as split_by_bloom."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(table)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        tbl = np.frombuffer(bc.value, dtype=np.uint16).reshape(n_buckets, slots)
+        i1, fp = _cuckoo_parts(h.to_numpy(), n_buckets)
+        i2 = _alt_bucket(i1, fp, n_buckets)
+        hit = (tbl[i1] == fp[:, None]).any(axis=1) | (tbl[i2] == fp[:, None]).any(axis=1)
+        return pd.Series(hit)
+
+    flagged = candidates.withColumn("__maybe", maybe_seen(F.col(hash_col)))
+    return (
+        flagged.filter(~F.col("__maybe")).drop("__maybe"),
+        flagged.filter(F.col("__maybe")).drop("__maybe"),
+    )

@@ -29,6 +29,59 @@ def test_bloom_split_is_safe(spark):
     assert len(u) > 1500
 
 
+def test_cuckoo_split_is_safe(spark):
+    """Same never-gambles contract as the bloom; precision should be much
+    higher (≤ a handful of false positives on 2k unseen candidates)."""
+    from facebook_crawler_spark.streaming.seenset import build_cuckoo, split_by_cuckoo
+
+    seen = spark.range(0, 1000).select((F.col("id") * 7919).alias("url_hash"))
+    cands = spark.range(0, 3000).select((F.col("id") * 7919).alias("url_hash"))
+    table = build_cuckoo(seen, n_buckets=1 << 10)
+    unseen, maybe = split_by_cuckoo(cands, table, n_buckets=1 << 10)
+    u = {r.url_hash for r in unseen.collect()}
+    m = {r.url_hash for r in maybe.collect()}
+    seen_set = {r.url_hash for r in seen.collect()}
+    assert not (u & seen_set)  # no false negatives routed past the filter
+    all_c = {r.url_hash for r in cands.collect()}
+    assert u | m == all_c and not (u & m)
+    assert seen_set <= m
+    # cuckoo precision: false positives ≪ bloom's (allow a small margin)
+    assert len(m) - len(seen_set) < 20
+
+
+def test_cuckoo_overflow_and_high_load(spark):
+    """Evict-loop path: 3.5k keys into 1024x4 slots (85% load) still places
+    everything with zero false negatives."""
+    from facebook_crawler_spark.streaming.seenset import build_cuckoo, split_by_cuckoo
+
+    seen = spark.range(0, 3500).select((F.col("id") * 104729 + 17).alias("url_hash"))
+    table = build_cuckoo(seen, n_buckets=1 << 10)
+    unseen, maybe = split_by_cuckoo(seen, table, n_buckets=1 << 10)
+    assert unseen.count() == 0 and maybe.count() == 3500
+
+
+def test_crawl_with_cuckoo_seen_filter_matches_bloom(spark, tmp_path_factory):
+    """Engine end-to-end with seen_filter='cuckoo' reproduces the bloom
+    engine's crawl order exactly (the filter only routes, never decides)."""
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine
+
+    images = syn.gen_images(spark, 300, partitions=4).cache()
+    hosts = syn.gen_hosts(spark, 5, token_rate=30, ban_threshold=15)
+    seeds = syn.gen_frontier_seeds(spark, 1200, n_images=300, n_hosts=5)
+    orders = []
+    for variant in ("bloom", "cuckoo"):
+        wd = str(tmp_path_factory.mktemp(f"seenf_{variant}"))
+        eng = CrawlEngine(
+            spark, wd, images, hosts, error_permille=50,
+            seen_filter=variant, bloom_min_seen=100,  # force the filter path early
+        )
+        eng.seed(seeds)
+        eng.run(max_rounds=30)
+        orders.append({(r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()})
+    assert orders[0] == orders[1] and orders[0]
+
+
 def test_bloom_empty_seen(spark):
     seen = spark.range(0).select(F.col("id").alias("url_hash"))
     bloom = build_bloom(seen, m_bits=1 << 12)
