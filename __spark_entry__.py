@@ -401,6 +401,20 @@ def q_trailing_errors(spark, sf):
     )
 
 
+_LSH_PLANES = 6  # SRP-ANN gate: 64 buckets over the 500-vector corpus
+
+
+def q_lsh_ann_topk(spark, sf):
+    """Pipeline: SRP-LSH-bucketed ANN top-k — candidates limited to the
+    query's sign-bucket (sub-linear scored set); the oracle replays the
+    identical plane literals, so the bucket restriction is hash-checked."""
+    from facebook_crawler_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_ann_topk(e, q, dim=_ND_DIM, k=3, n_planes=_LSH_PLANES)
+
+
 _IVF_K, _IVF_PROBE, _IVF_TOPK, _IVF_SEED = 8, 3, 3, 7
 
 
@@ -756,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_partition": q_latest_partition,
         "csv_dimension": q_csv_dimension,
         "daily_snapshot": q_daily_snapshot,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -824,18 +839,21 @@ def _dot_sql(vec: str, weights: list[float]) -> str:
     return "(" + " + ".join(f"({vec}[{i + 1}] * ({w!r}))" for i, w in enumerate(weights)) + ")"
 
 
+def _srp_bucket_sql(planes: list[list[float]], vec: str = "v") -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({bits})"
+
+
 def _srp_band_keys_sql() -> list[str]:
     from facebook_crawler_spark.operators.similarity import make_planes
 
-    keys = []
-    for b in range(_ND_BANDS):
-        planes = make_planes(_ND_DIM, _ND_PLANES, seed=_ND_SEED + b)
-        bits = " + ".join(
-            f"(CASE WHEN {_dot_sql('v', p)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        keys.append(f"'{b}:' || ({bits})::VARCHAR")
-    return keys
+    return [
+        f"'{b}:' || {_srp_bucket_sql(make_planes(_ND_DIM, _ND_PLANES, seed=_ND_SEED + b))}::VARCHAR"
+        for b in range(_ND_BANDS)
+    ]
 
 
 _COS_SQL = (
@@ -858,6 +876,24 @@ def _embedding_near_dups_sql() -> str:
         f" scored AS (SELECT p.id_a, p.id_b, {cos} AS cos_sim"
         "   FROM pairs p JOIN c ca ON ca.vec_id = p.id_a JOIN c cb ON cb.vec_id = p.id_b)"
         f" SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_ND_THRESH}"
+    )
+
+
+def _lsh_ann_sql() -> str:
+    from facebook_crawler_spark.operators.similarity import make_planes
+
+    bucket = _srp_bucket_sql(make_planes(_ND_DIM, _LSH_PLANES, seed=42))
+    qbucket = _srp_bucket_sql(make_planes(_ND_DIM, _LSH_PLANES, seed=42), vec="qv")
+    cos = _COS_SQL.format(a="b.v", b="q.qv")
+    return (
+        "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),"
+        f" b AS (SELECT vec_id, v, {bucket} AS bkt FROM c),"
+        f" q AS (SELECT query_id, qv, {qbucket} AS bkt"
+        "   FROM (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5)),"
+        f" scored AS (SELECT q.query_id, b.vec_id, {cos} AS cos_sim FROM b JOIN q USING (bkt)),"
+        " ranked AS (SELECT *, row_number() OVER"
+        "   (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3"
     )
 
 
@@ -1115,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": _simhash_sql(),
         "ivf_ann_topk": _ivf_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
         # --- extraction family: closed-form ground truth from doc_id -------
         "seller_parse": (
             "SELECT doc_id,"
