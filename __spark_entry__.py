@@ -1242,11 +1242,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         # --- source/sink round trips: oracle = same aggregate on the source
         "jsonl_roundtrip": (
-            "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars"
+            "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
             " FROM documents GROUP BY lang"
         ),
         "latest_partition": (
-            "SELECT count(*) AS n, sum(n_chars) AS sum_chars, 13 AS picked_day"
+            "SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " 13 AS picked_day"
             " FROM documents WHERE doc_id % 5 = 0"
         ),
         "csv_dimension": (

@@ -8,19 +8,17 @@ of these are first-class engine operators:
 - exact dedup by normalized-content hash (hash groupBy);
 - MinHash + LSH banding (shingle → minhash → band → bucket join);
 - n-gram Jaccard verification (exact, for candidate pairs);
-- SimHash (vectorized Arrow UDF + hamming-band join).
+- SimHash (md5 bit-votes + hamming-band join).
 
-Everything except SimHash compiles to built-in Catalyst expressions (md5,
-higher-order array functions) — no Python in the hot path. MinHash uses
-md5 instead of xxhash64 so the same computation is expressible in ANSI SQL
-for the DuckDB oracle; swap `_hash_fn` for xxhash64 when oracle parity is
-not needed (same plan shape, ~2x faster hashing).
+Everything compiles to built-in Catalyst expressions (md5, conv,
+higher-order array functions) — no Python in any hot path. MinHash and
+SimHash use md5 instead of xxhash64 so the same computation is expressible
+in ANSI SQL for the DuckDB oracle; swap `_hash_fn` for xxhash64 when oracle
+parity is not needed (same plan shape, ~2x faster hashing).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -227,37 +225,53 @@ def verify_near_dups(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized Arrow UDF — bit-vote accumulation is not expressible
-# as a sane Catalyst expression)
+# SimHash — pure Catalyst, the same aggregation shape as MinHash: explode
+# tokens, md5 JVM-side, per-bit ±1 vote sums with map-side partial
+# aggregation (one shuffled row per doc). Previously a pandas UDF that
+# called hashlib.md5 per token per row — the last Python hot loop in the
+# dedup family; this form is Python-free and whole-stage-codegen'd.
 # ---------------------------------------------------------------------------
 
 def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document + 4×16-bit band keys for hamming-LSH.
 
-    Vectorized over Arrow batches with numpy bit-ops; per-row Python is
-    limited to tokenization (the same boundary a real tokenizer has).
+    The per-token hash is the first 16 hex chars of md5 (same family as
+    `hash_str64`, bit-for-bit): chosen so the DuckDB oracle can replay every
+    bit vote nibble-by-nibble from md5's hex output. Bit j (LSB numbering)
+    of the 64-bit token hash lives in 16-bit chunk 3 - j//16 of the hex
+    string, extracted with conv(); a bit's vote is +1 when set, -1 when
+    clear (a null token row from an empty/NULL doc votes -1 everywhere →
+    code 0, matching the previous UDF and the oracle's 2*cnt > n rule).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for row, t in enumerate(texts.fillna("")):
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.array(
-                [hash_str64(tok) for tok in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            code = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                code |= np.uint64(1) << np.uint64(b)
-            out[row] = code
-        return pd.Series(out.view(np.int64))
-
-    coded = df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    ex = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(
+        "id", F.explode_outer("__toks").alias("__tok")
+    )
+    h = F.md5(F.col("__tok"))
+    # chunk c = hex chars [1+4c, 4] = bits 63-16c .. 48-16c of int(hex[:16],16)
+    hashed = ex.select(
+        "id",
+        *[F.conv(F.substring(h, 1 + 4 * c, 4), 16, 10).cast("int").alias(f"__c{c}") for c in range(4)],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col(f"__c{3 - j // 16}"), j % 16).bitwiseAND(1) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"__v{j}")
+        for j in range(64)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    code = F.lit(0).cast("long")
+    for j in range(64):
+        code = code.bitwiseOR(
+            F.when(
+                F.coalesce(F.col(f"__v{j}"), F.lit(0)) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    coded = agg.select("id", code.alias("simhash"))
     for band in range(4):
         coded = coded.withColumn(
             f"band_{band}", F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(0xFFFF)
@@ -266,15 +280,15 @@ def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit token hash: first 16 hex chars of md5. Chosen
-    over FNV so the DuckDB oracle can replay the exact bit pattern
-    (nibble-by-nibble from md5's hex output — DuckDB 1.0 has md5 but no
-    strtol/conv to parse raw 64-bit ints); md5's diffusion also beats FNV
-    for the simhash bit votes. Process-stable, unlike Python's builtin
-    hash."""
-    import hashlib
+    """Deterministic 64-bit token hash: first 16 hex chars of md5 — the
+    pure-Python statement of the hash family `simhash_codes` evaluates in
+    Catalyst (md5 + conv), kept for tests and driver-side tooling. md5 over
+    FNV so DuckDB (which has md5 but no strtol/conv-from-hex) can replay the
+    exact bit pattern; md5's diffusion also beats FNV for the bit votes.
+    Process-stable, unlike Python's builtin hash."""
+    from hashlib import md5
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+    return int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def simhash_near_dups(

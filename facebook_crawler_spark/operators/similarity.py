@@ -127,14 +127,20 @@ def kmeans_lite_centroids(
 ) -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: k centroids via a few Lloyd
     iterations over a bounded sample (no MLlib dependency). The sample is
-    `limit(4000)` — a deterministic prefix scan that reads only the first
-    partitions (a coarse quantizer does not need uniform sampling, it needs
-    a cheap, reproducible sketch; a fraction-based sample would first cost a
-    full count() scan). The result is a driver-side list broadcast into the
-    assignment expression."""
+    the 4000 rows with the smallest xxhash64(vector) — deterministic and
+    decorrelated from storage order (a bare limit() is a prefix scan: on a
+    corpus whose partition order tracks cluster structure, e.g. sorted or
+    time-ordered embeddings, it misses whole regions). orderBy+limit plans
+    as TakeOrderedAndProject (per-partition top-k, no full sort), and a
+    fraction-based sample would first cost a full count() scan. The result
+    is a driver-side list broadcast into the assignment expression."""
     import numpy as np
 
-    sample = corpus.select(_as_double(F.col(vec_col)).alias("v")).limit(4000)
+    sample = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64("v"))
+        .limit(4000)
+    )
     pts = np.array([r.v for r in sample.collect()])
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]

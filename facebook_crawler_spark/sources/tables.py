@@ -84,7 +84,15 @@ class Table:
         return self._commit(prev + [new_dir])
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._commit([self._write_data(df)], meta=meta)
+        new_dir = self._write_data(df)
+        if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
+            # Same part-less hazard as append(), but an overwrite cannot be
+            # skipped (init_empty routes through here and the commit must
+            # exist): rewrite as a single partition, which always emits one
+            # schema-carrying part file even for an empty DataFrame.
+            shutil.rmtree(new_dir, ignore_errors=True)
+            new_dir = self._write_data(df.repartition(1))
+        return self._commit([new_dir], meta=meta)
 
     def init_empty(self, df_schema_source: DataFrame) -> int:
         """Commit an empty snapshot with the given schema."""

@@ -375,16 +375,19 @@ class CrawlEngine:
         round_no = self.committed_round() + 1
         # Pin the state INPUT to the pre-round snapshot: if a crashed run
         # already overwrote host_state for this round (commit meta carries
-        # the round), the re-run must recompute from version-1, or the
-        # consecutive-error update would be applied twice.
+        # the round), the re-run must recompute from the version BEFORE any
+        # of this round's overwrites. Walk back over every version tagged
+        # with this round — a double crash leaves two such versions, and a
+        # single-step walk-back would pin to the first crashed attempt's
+        # post-update state and apply the consecutive-error update twice.
         state_v = self.host_state.current_version()
-        if (
-            self._fresh_process
-            and self.host_state.commit_meta(state_v).get("round") == round_no
-        ):
-            state = self.host_state.read(self.spark, version=state_v - 1)
-        else:
-            state = self.host_state.read(self.spark)
+        if self._fresh_process:
+            while (
+                state_v > 1
+                and self.host_state.commit_meta(state_v).get("round") == round_no
+            ):
+                state_v -= 1
+        state = self.host_state.read(self.spark, version=state_v)
         quarantined = state.filter(F.col("quarantined")).select("host")
         budgets = state.filter(~F.col("quarantined")).select(
             "host", F.col("token_rate").alias("budget")
@@ -468,6 +471,11 @@ class CrawlEngine:
             fetched = fetched.join(F.broadcast(failed), "url_hash", "left").withColumn(
                 "verified",
                 F.when(F.col("bytes").isNull(), F.lit(None).cast("boolean"))
+                # no reference phash → unverifiable, NOT verified=true (the
+                # UDF returns None for these rows, so they never reach the
+                # strictly-false failed set; without this branch they would
+                # be silently upgraded from NULL to true)
+                .when(F.col("phash").isNull(), F.lit(None).cast("boolean"))
                 .when(F.coalesce(F.col("__failed"), F.lit(False)), F.lit(False))
                 .otherwise(F.lit(True)),
             ).drop("__failed")

@@ -186,6 +186,54 @@ def test_quarantine_alerts_match_simulator_and_survive_resume(spark, tmp_path_fa
     assert s_full == s_res
 
 
+def test_double_crash_same_round_resumes_identical(spark, tmp_path_factory):
+    """A round that crashes TWICE between the host_state overwrite and the
+    ledger commit leaves two host_state versions tagged with that round; the
+    third attempt must pin its state input back past BOTH. A single-step
+    walk-back would pin to the first crashed attempt's post-update state and
+    apply the consecutive-error update twice — premature quarantine and
+    divergence from the uninterrupted run."""
+    import os
+
+    n, n_img = 600, 300
+    images = syn.gen_images(spark, n_img, partitions=4).cache()
+    hosts = syn.gen_hosts(spark, 8, token_rate=10, ban_threshold=4)
+    seeds = syn.gen_frontier_seeds(spark, n, n_images=n_img, n_hosts=8)
+
+    wd_full = str(tmp_path_factory.mktemp("dc_full"))
+    eng_full = CrawlEngine(spark, wd_full, images, hosts, error_permille=450)
+    eng_full.seed(seeds)
+    eng_full.run(max_rounds=40)
+
+    wd = str(tmp_path_factory.mktemp("dc_kill"))
+    eng = CrawlEngine(spark, wd, images, hosts, error_permille=450)
+    eng.seed(seeds)
+    for _ in range(4):
+        eng.run_round()
+    for _ in range(2):  # crash round 4 twice: post-state, pre-ledger
+        os.remove(eng.ledger._manifest_path(eng.ledger.current_version()))
+        eng = CrawlEngine(spark, wd, images, hosts, error_permille=450)
+        assert eng.committed_round() == 3
+        eng.run_round()  # re-runs round 4, re-overwrites host_state meta
+    # two host_state versions now carry meta round=4; final resume must
+    # still converge to the uninterrupted run
+    os.remove(eng.ledger._manifest_path(eng.ledger.current_version()))
+    eng = CrawlEngine(spark, wd, images, hosts, error_permille=450)
+    metas = [
+        eng.host_state.commit_meta(v).get("round")
+        for v in range(1, eng.host_state.current_version() + 1)
+    ]
+    assert metas.count(4) >= 2, metas  # the scenario actually happened
+    eng.run(max_rounds=40)
+
+    full = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng_full.crawl_order().collect()}
+    resumed = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()}
+    assert full == resumed
+    s_full = {tuple(r) for r in eng_full.host_state.read(spark).collect()}
+    s_res = {tuple(r) for r in eng.host_state.read(spark).collect()}
+    assert s_full == s_res
+
+
 def _sim_result_permille(spark, eng, hosts, permille):
     frontier_rows = [r.asDict() for r in eng.frontier.read(spark).collect()]
     host_rows = [r.asDict() for r in hosts.collect()]
