@@ -682,6 +682,218 @@ def q_csv_dimension(spark, sf):
     )
 
 
+def q_multiday_scan(spark, sf):
+    """S4: one multi-path scan over several day partitions (the reference
+    loops 13 per-city files and concatenates, data_processor.py:38-50; the
+    engine reads the ROOT in one scan and lets partition pruning select
+    days). Days 20/21/22 are written disjointly by doc_id mod 3; the scan
+    keeps days 20 and 22 via the partition column."""
+    from datetime import date
+
+    from facebook_crawler_spark.sources import io as fio
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    root = _gate_tmp(sf, "multiday")
+    for day, m in [(date(2023, 11, 20), 0), (date(2023, 11, 21), 1), (date(2023, 11, 22), 2)]:
+        fio.write_stage(d.filter(F.col("doc_id") % 3 == m), root, day)
+    back = fio.read_stage(spark, root, "doc_id long, lang string, n_chars long")
+    return (
+        back.filter(F.col("day").isin(20, 22))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def q_expire_gc(spark, sf):
+    """S8: staging GC — three committed table versions, expire to the
+    newest (reference db/s3_db.py:32-36 deletes stage files after the
+    merge; Iceberg expire_snapshots analog). Expired versions must be
+    unreadable and their data dirs deleted; the surviving snapshot must
+    read exactly the last overwrite."""
+    import shutil
+
+    from facebook_crawler_spark.sources.tables import Table
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    root = _gate_tmp(sf, "expire")
+    shutil.rmtree(root, ignore_errors=True)
+    t = Table(root)
+    t.overwrite(d.filter(F.col("doc_id") % 4 == 0))  # v1 (staging)
+    t.append(d.filter(F.col("doc_id") % 4 == 1))  # v2 (staging)
+    t.overwrite(d.filter(F.col("doc_id") % 5 == 0))  # v3 — the survivor
+    removed = t.expire_versions(keep_last=1)
+    assert removed >= 1, f"expire must drop data dirs, removed={removed}"
+    assert t.current_version() == 3
+    try:
+        t.read(spark, version=2)
+        raise AssertionError("expired version must not be readable")
+    except FileNotFoundError:
+        pass
+    return t.read(spark).groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("sum_chars")
+    )
+
+
+def q_per_city_write(spark, sf):
+    """S3 per-city partition axis (reference db/s3_db.py:14-15 writes one
+    file per city under the day prefix, scroll_crawler.py:165-166): write
+    with per_city=True → year=/month=/day=/city= Hive dirs, read the day
+    path back, select two cities through the discovered partition column."""
+    from datetime import date
+
+    from facebook_crawler_spark.sources import io as fio
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.format_string("city-%03d", F.col("doc_id") % 7).alias("city")
+    )
+    root = _gate_tmp(sf, "percity")
+    day = date(2023, 11, 18)
+    fio.write_stage(d, root, day, per_city=True)
+    back = fio.read_stage(spark, root, "doc_id long, n_chars long", day=day)
+    return (
+        back.filter(F.col("city").isin("city-002", "city-005"))
+        .groupBy("city")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the crawl engine itself under the driver gate (ST1/ST2/T4, S7): closed-form
+# world, full micro-batch loop in-gate, oracle = the pure-Python reference
+# simulator replayed at oracle-SQL generation time into literal VALUES.
+# ---------------------------------------------------------------------------
+
+_CRAWL_N_SEEDS = 160
+_CRAWL_N_IMAGES = 120
+_CRAWL_N_HOSTS = 6  # hot + host-000..host-004
+_CRAWL_TOKEN_RATE = 7
+_CRAWL_BAN_THRESHOLD = 3
+_CRAWL_ERR_PERMILLE = 250
+_CRAWL_MAX_ROUNDS = 6
+_CRAWL_HOT = "cdn.fb-images.test"
+_CRAWL_DISC = dict(
+    n_images=_CRAWL_N_IMAGES, n_hosts=_CRAWL_N_HOSTS, hot_pct=40,
+    hot_host=_CRAWL_HOT, max_out=3,
+)
+
+
+def _crawl_world() -> tuple[list[dict], list[dict]]:
+    """Closed-form seed list + hosts dimension, plain Python rows: the SAME
+    rows feed the Spark engine (createDataFrame) and the simulator that
+    generates the oracle, so the gate is sf-independent by construction.
+    Seed URLs are already canonical (lowercase, one non-tracking param)."""
+    seeds = []
+    for i in range(_CRAWL_N_SEEDS):
+        t = (i * 2654435761) % _CRAWL_N_IMAGES
+        host = (
+            _CRAWL_HOT
+            if (i * 97) % 100 < 40
+            else f"host-{(i * 13) % (_CRAWL_N_HOSTS - 1):03d}.example.test"
+        )
+        seeds.append(
+            {
+                "url": f"https://{host}/item/img_{t:012d}?seed={i}",
+                "image_id": f"img_{t:012d}",
+                "host": host,
+                "priority": i % 3,
+                "seed_rank": (i * 1103515245 + 12345) % (1 << 40),
+            }
+        )
+    hosts = [
+        {
+            "host": _CRAWL_HOT, "token_rate": _CRAWL_TOKEN_RATE, "robots_delay_ms": 500,
+            "robots_disallow": ["/private"], "ban_threshold": _CRAWL_BAN_THRESHOLD,
+            "salt_factor": 4,
+        }
+    ]
+    for k in range(_CRAWL_N_HOSTS - 1):
+        hosts.append(
+            {
+                "host": f"host-{k:03d}.example.test", "token_rate": _CRAWL_TOKEN_RATE,
+                "robots_delay_ms": 500,
+                "robots_disallow": ["/admin"] if k % 3 == 0 else [],
+                "ban_threshold": _CRAWL_BAN_THRESHOLD, "salt_factor": 1,
+            }
+        )
+    return seeds, hosts
+
+
+def q_crawl_order(spark, sf):
+    """ST1/ST2/T4 + S7: the crawl engine's north-rule artifact under the
+    driver's hash check — seed a closed-form frontier, run the full
+    micro-batch loop (politeness budget rank, error injection, quarantine
+    state, discovery expansion with xxhash64 child hashing) and return the
+    (round, host, host_rank, url_hash) order of successful fetches."""
+    import shutil
+
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine, DiscoveryConfig
+
+    root = _gate_tmp(sf, "crawl")
+    shutil.rmtree(root, ignore_errors=True)  # never resume a previous gate run
+    seed_rows, host_rows = _crawl_world()
+    seeds = spark.createDataFrame(
+        [(r["url"], r["image_id"], r["host"], r["priority"], r["seed_rank"]) for r in seed_rows],
+        "url string, image_id string, host string, priority int, seed_rank long",
+    )
+    hosts = spark.createDataFrame(
+        [
+            (h["host"], h["token_rate"], h["robots_delay_ms"], h["robots_disallow"],
+             h["ban_threshold"], h["salt_factor"])
+            for h in host_rows
+        ],
+        "host string, token_rate int, robots_delay_ms int, robots_disallow array<string>,"
+        " ban_threshold int, salt_factor int",
+    )
+    images = syn.gen_images(spark, _CRAWL_N_IMAGES, partitions=4, dim_span=9)
+    eng = CrawlEngine(
+        spark, root, images, hosts, error_permille=_CRAWL_ERR_PERMILLE,
+        verify_payloads=False, store_payloads=False,
+        discovery=DiscoveryConfig(**_CRAWL_DISC),
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=_CRAWL_MAX_ROUNDS)
+    return eng.crawl_order().select(
+        "round", "host", F.col("host_rank").cast("long").alias("host_rank"), "url_hash"
+    )
+
+
+def _crawl_order_sql() -> str:
+    """Oracle for q_crawl_order: replay the crawl with the pure-Python
+    reference simulator (sim/oracle.py — an independent implementation,
+    including its own XXH64) over the same closed-form world, and emit the
+    result as literal VALUES."""
+    from facebook_crawler_spark.sim.oracle import _xxh64_signed, simulate
+
+    seed_rows, host_rows = _crawl_world()
+    frontier = [
+        {
+            "url_hash": _xxh64_signed(r["url"]),
+            "canonical_url": r["url"],
+            "host": r["host"],
+            "priority": r["priority"],
+            "seed_rank": r["seed_rank"],
+        }
+        for r in seed_rows
+    ]
+    sim = simulate(
+        frontier, host_rows, error_permille=_CRAWL_ERR_PERMILLE,
+        max_rounds=_CRAWL_MAX_ROUNDS, discovery=_CRAWL_DISC,
+    )
+    assert sim.crawl_order, "simulator produced an empty crawl"
+    rows = ", ".join(
+        f"({rnd}, '{host}', {rank}, {uh})" for rnd, host, rank, uh in sorted(sim.crawl_order)
+    )
+    return (
+        "SELECT CAST(c1 AS INTEGER) AS round, c2 AS host,"
+        " CAST(c3 AS BIGINT) AS host_rank, CAST(c4 AS BIGINT) AS url_hash"
+        f" FROM (VALUES {rows}) t(c1, c2, c3, c4)"
+    )
+
+
 _DAILY_ROUND_TS = "2023-11-15 12:00:00"  # epoch 1700049600 (UTC)
 
 
@@ -771,6 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_dimension": q_csv_dimension,
         "daily_snapshot": q_daily_snapshot,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "multiday_scan": q_multiday_scan,
+        "expire_gc": q_expire_gc,
+        "per_city_write": q_per_city_write,
+        "crawl_order": q_crawl_order,
     }
 
 
@@ -1254,6 +1470,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, printf('city-%03d', c_custkey % 100) AS city"
             " FROM customer WHERE c_custkey % 100 < 60"
         ),
+        "multiday_scan": (
+            # days written disjointly by doc_id mod 3 (20↔0, 21↔1, 22↔2);
+            # the scan keeps days 20 and 22 via the partition column
+            "SELECT CAST(CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 22 END AS INTEGER) AS day,"
+            " count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents WHERE doc_id % 3 IN (0, 2) GROUP BY 1"
+        ),
+        "expire_gc": (
+            # survivor snapshot = the last overwrite (doc_id % 5 = 0)
+            "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents WHERE doc_id % 5 = 0 GROUP BY lang"
+        ),
+        "per_city_write": (
+            "SELECT printf('city-%03d', doc_id % 7) AS city, count(*) AS n,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents WHERE doc_id % 7 IN (2, 5) GROUP BY 1"
+        ),
+        "crawl_order": _crawl_order_sql(),
         "daily_snapshot": (
             "WITH base AS (SELECT o_orderkey AS k, printf('ad_%010d', o_orderkey) AS adId,"
             "   CAST(floor(epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS lc FROM orders),"

@@ -146,6 +146,7 @@ def run_frontier(spark) -> dict:
         total_fetch = sum(s["fetched"] for s in stats)
         phases: dict[str, float] = {}
         for s in stats:
+            print(f"  round {s['round']}: {s['timings']}", file=sys.stderr)
             for k, v in s.get("timings", {}).items():
                 phases[k] = round(phases.get(k, 0.0) + v, 3)
         return {

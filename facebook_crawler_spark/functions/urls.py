@@ -106,14 +106,12 @@ def url_hash(canonical: Column) -> Column:
 
 
 def fnv64_signed(s: str) -> int:
-    """FNV-1a 64-bit of a string as SIGNED int64 — the frontier's url_hash.
-
-    Chosen over xxhash64 for the frontier because the reference simulator
-    (sim/oracle.py) must reproduce every hash-derived decision (error
-    injection, crawl-order tiebreaks, dedup keys) in pure Python with no
-    JVM: FNV-1a is 6 lines in any language. Cost: ~1µs per URL, paid once
-    at seed/discovery time inside the canonicalization Arrow batch.
-    """
+    """FNV-1a 64-bit of a string as SIGNED int64 — the frontier's url_hash
+    in `mode="fnv"` (sim-parity mode: FNV-1a is 6 lines in any language, so
+    an external oracle can replay every hash-derived decision trivially).
+    Cost: ~1µs per URL inside the Arrow batch — fine at test scale, but at
+    a 10^10-URL frontier that is hours of pure Python, which is why the
+    production default is the JVM xxhash64 path below."""
     h = 0xCBF29CE484222325
     for ch in s.encode("utf-8"):
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
@@ -123,8 +121,22 @@ def fnv64_signed(s: str) -> int:
 _fnv_udf = None
 
 
-def frontier_url_hash(canonical: Column) -> Column:
-    """Arrow-batched FNV-1a url_hash of the canonical URL column."""
+def frontier_url_hash(canonical: Column, mode: str = "xxhash64") -> Column:
+    """url_hash of the canonical URL column.
+
+    mode="xxhash64" (production default): `F.xxhash64` — JVM-side,
+    whole-stage-codegen'd, zero Arrow round-trips at seed/discovery time.
+    The crawl simulator replays it bit-for-bit with an independent
+    pure-Python XXH64 (sim/oracle.py; parity asserted in tests/test_urls.py
+    against Spark's own output, like the canonicalizer's expr/UDF pair).
+
+    mode="fnv": Arrow-batched FNV-1a — explicit sim-parity mode for
+    external oracles that want a 6-line hash.
+    """
+    if mode == "xxhash64":
+        return F.xxhash64(canonical)
+    if mode != "fnv":
+        raise ValueError(f"unknown url-hash mode: {mode!r}")
     global _fnv_udf
     if _fnv_udf is None:
 

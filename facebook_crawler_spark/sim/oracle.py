@@ -62,7 +62,70 @@ def _fnv64_signed(s: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def _children_of(parent_hash: int, parent_rank: int, priority: int, round_no: int, d: dict) -> list[dict]:
+# --- pure-Python XXH64 (public xxHash spec), seed 42 = Spark's default ------
+# Replays the engine's production url_hash (F.xxhash64 over UTF-8 bytes)
+# with no JVM; an independent implementation from the spec, asserted equal
+# to Spark's own output in tests/test_urls.py.
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_signed(s: str) -> int:
+    h = _xxh64(s.encode("utf-8"), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_HASH_FNS = {"xxhash64": _xxh64_signed, "fnv": _fnv64_signed}
+
+
+def _children_of(
+    parent_hash: int, parent_rank: int, priority: int, round_no: int, d: dict, hash_fn=_xxh64_signed
+) -> list[dict]:
     """Deterministic outlinks of one successful fetch — the pure-Python twin
     of round_runner._expand_discoveries (same modular arithmetic; the child
     URL is constructed already-canonical, so url_hash = fnv64 directly)."""
@@ -80,7 +143,7 @@ def _children_of(parent_hash: int, parent_rank: int, priority: int, round_no: in
         url = f"https://{host}/item/img_{t:012d}?disc={j}"
         out.append(
             {
-                "url_hash": _fnv64_signed(url),
+                "url_hash": hash_fn(url),
                 "canonical_url": url,
                 "host": host,
                 "priority": priority,
@@ -97,12 +160,16 @@ def simulate(
     error_permille: int = 0,
     max_rounds: int = 1000,
     discovery: dict | None = None,
+    hash_mode: str = "xxhash64",
 ) -> SimResult:
     """Replay the crawl. `frontier_rows` need keys url_hash, canonical_url,
     host, priority, seed_rank; `host_rows` need host, token_rate,
     ban_threshold, robots_disallow. `discovery` (optional) mirrors
     round_runner.DiscoveryConfig as a dict with keys n_images, n_hosts,
-    hot_pct, hot_host, max_out."""
+    hot_pct, hot_host, max_out. `hash_mode` must match the engine's
+    (CrawlEngine hash_mode): the hash only matters for discovery-child
+    url_hashes — seed hashes arrive in `frontier_rows`."""
+    hash_fn = _HASH_FNS[hash_mode]
     hosts = {
         h["host"]: HostState(
             token_rate=h["token_rate"],
@@ -168,7 +235,8 @@ def simulate(
                 if discovery is not None:
                     round_children.extend(
                         _children_of(
-                            row["url_hash"], row["seed_rank"], row["priority"], round_no, discovery
+                            row["url_hash"], row["seed_rank"], row["priority"],
+                            round_no, discovery, hash_fn,
                         )
                     )
             trailing = len(chunk) - last_ok_rank

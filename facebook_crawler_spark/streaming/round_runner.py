@@ -132,6 +132,7 @@ class CrawlEngine:
         verify_payloads: bool = True,
         store_payloads: bool = True,
         discovery: DiscoveryConfig | None = None,
+        hash_mode: str = "xxhash64",  # "xxhash64" (JVM, production) | "fnv" (sim-parity)
     ):
         self.spark = spark
         self.workdir = workdir
@@ -152,6 +153,11 @@ class CrawlEngine:
         # of a dedup- or QA-only crawl where payloads live elsewhere)
         self.store_payloads = store_payloads
         self.discovery = discovery
+        # url_hash family for seed + discovery (functions/urls.py). The JVM
+        # xxhash64 default keeps the frontier's hottest projection out of
+        # Python entirely; the simulator replays it with its own pure-Python
+        # XXH64. "fnv" remains for external oracles wanting a 6-line hash.
+        self.hash_mode = hash_mode
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -169,6 +175,13 @@ class CrawlEngine:
         # re-reading the growing fetched table every round (O(R²) rows read
         # over R rounds otherwise); lineage truncated periodically
         self._seen_df: DataFrame | None = None
+        # driver-side frontier row count (seed Observation + discovery
+        # deltas; a resumed engine reconstructs it with one count()). Lets
+        # run() prove `remaining == 0` without paying a full probe round —
+        # the terminal round's bloom build + all-seen anti-join + empty
+        # commit were a pure per-run flat cost (core-count-independent),
+        # exactly what the N→4N scaling ratio is most sensitive to.
+        self._frontier_rows: int | None = None
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: DataFrame) -> int:
@@ -177,7 +190,7 @@ class CrawlEngine:
         consuming its shuffled list in order: the earliest seed_rank for a
         canonical URL defines its crawl position."""
         canon = seeds.withColumn("canonical_url", canonicalize_urls(F.col("url"))).withColumn(
-            "url_hash", frontier_url_hash(F.col("canonical_url"))
+            "url_hash", frontier_url_hash(F.col("canonical_url"), self.hash_mode)
         )
         w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc())
         deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
@@ -187,12 +200,15 @@ class CrawlEngine:
             "host_salt",
             F.pmod(F.col("url_hash"), F.coalesce(F.col("salt_factor"), F.lit(1))).cast("int"),
         ).drop("salt_factor")
-        version = self.frontier.overwrite(
-            salted.select(
-                "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
-                "priority", "seed_rank", F.lit(0).alias("discovered_round"),
-            )
-        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = salted.select(
+            "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
+            "priority", "seed_rank", F.lit(0).alias("discovered_round"),
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        version = self.frontier.overwrite(rows)
+        self._frontier_rows = int(obs.get["n"] or 0)
         self.host_state.overwrite(
             self.hosts.select(
                 "host", "token_rate", "ban_threshold",
@@ -329,7 +345,7 @@ class CrawlEngine:
             child_rank.alias("seed_rank"),
         )
         canon = children.withColumn("canonical_url", canonicalize_urls(F.col("url"))).withColumn(
-            "url_hash", frontier_url_hash(F.col("canonical_url"))
+            "url_hash", frontier_url_hash(F.col("canonical_url"), self.hash_mode)
         )
         w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc(), F.col("canonical_url").asc())
         deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
@@ -355,6 +371,8 @@ class CrawlEngine:
         rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
         self.frontier.append(rows)
         n_new = int(obs.get["n"] or 0)
+        if self._frontier_rows is not None:
+            self._frontier_rows += n_new
         if n_new and self._frontier_df is not None:
             self._frontier_df.unpersist()
             self._frontier_df = None  # re-read (and re-persist) with children
@@ -639,11 +657,32 @@ class CrawlEngine:
             "timings": tmark,
         }
 
+    def _remaining(self) -> int | None:
+        """|frontier| − |seen|: pending work, known driver-side without a
+        job. The seed/discovery counts ride existing writes as Observations;
+        a resumed engine reconstructs the frontier count once (parquet
+        footer scan). Exact because fetched-ok URLs are never rescheduled
+        and seen ⊆ frontier by construction."""
+        if self._frontier_rows is None:
+            if not self.frontier.exists():
+                return None
+            self.committed_round()  # populate _seen_rows from the ledger
+            self._frontier_rows = self.frontier.read(self.spark).count()
+        return self._frontier_rows - (self._seen_rows or 0)
+
     def run(self, max_rounds: int = 1000) -> list[dict[str, int]]:
         """Drive rounds until the frontier is drained (or only quarantined/
-        permanently-failing work remains)."""
+        permanently-failing work remains). `remaining == 0` short-circuits
+        WITHOUT a probe round: the terminal all-seen round used to pay a
+        bloom build over the full seen set, a worst-case (everything lands
+        in `maybe`) anti-join, and an empty commit — per-run flat cost that
+        the N→4N scaling efficiency is directly sensitive to. Rounds where
+        remaining > 0 but nothing is schedulable (quarantined hosts,
+        robots-blocked URLs) still terminate via scheduled == 0 as before."""
         stats = []
         for _ in range(max_rounds):
+            if self._remaining() == 0:
+                break
             s = self.run_round()
             stats.append(s)
             if s["scheduled"] == 0:

@@ -71,6 +71,36 @@ def test_discovery_crawl_order_matches_simulator(spark, world, engine_run):
     assert {r.url_hash for r in eng.seen_set().collect()} == sim.seen
 
 
+def test_discovery_fnv_mode_matches_simulator(spark, tmp_path_factory):
+    """hash_mode="fnv" (the opt-in sim-parity hash family) still reproduces
+    the simulator exactly — discovery children are hashed by the Arrow FNV
+    UDF engine-side and by the oracle's independent FNV in Python."""
+    n, n_img, n_hosts = 300, 200, 6
+    dcfg = dict(n_images=n_img, n_hosts=n_hosts, hot_pct=40, hot_host=syn.HOT_HOST, max_out=3)
+    images = syn.gen_images(spark, n_img, partitions=4).cache()
+    hosts = syn.gen_hosts(spark, n_hosts, token_rate=30, ban_threshold=15)
+    seeds = syn.gen_frontier_seeds(spark, n, n_images=n_img, n_hosts=n_hosts)
+    wd = str(tmp_path_factory.mktemp("disc_fnv"))
+    eng = CrawlEngine(
+        spark, wd, images, hosts, error_permille=ERR,
+        discovery=DiscoveryConfig(**dcfg), hash_mode="fnv",
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=20)
+    frontier_rows = [
+        r.asDict() for r in eng.frontier.read(spark).filter("discovered_round = 0").collect()
+    ]
+    host_rows = [r.asDict() for r in hosts.collect()]
+    sim = simulate(
+        frontier_rows, host_rows, error_permille=ERR, max_rounds=20,
+        discovery=dcfg, hash_mode="fnv",
+    )
+    engine_order = {
+        (r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()
+    }
+    assert engine_order == set(sim.crawl_order)
+
+
 def test_discovery_resume_identical(spark, world, engine_run, tmp_path_factory):
     images, hosts, seeds = world
     eng_full, _ = engine_run

@@ -49,6 +49,43 @@ def test_simulator_fnv_matches_engine_fnv():
     assert [fnv64_signed(s) for s in samples] == [_fnv64_signed(s) for s in samples]
 
 
+def test_simulator_xxh64_matches_spark(spark):
+    """The oracle's independent pure-Python XXH64 (seed 42) must equal
+    Spark's F.xxhash64 — the production frontier hash — on every length
+    class of the algorithm (empty, <4, <8, <32, 32-boundary, long) and on
+    real frontier URL shapes."""
+    from facebook_crawler_spark.sim.oracle import _xxh64_signed
+
+    samples = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "0123456789abcde",
+        "0123456789abcdef", "x" * 31, "x" * 32, "x" * 33, "y" * 64, "z" * 100,
+        "https://cdn.fb-images.test/item/img_000000000042?disc=1",
+        "https://host-199.example.test/item/img_000000000001?disc=3",
+        "ü¶é-unicode-ß", "a" * 300,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    assert [got[s] for s in samples] == [_xxh64_signed(s) for s in samples]
+
+
+def test_frontier_url_hash_modes(spark):
+    """frontier_url_hash: xxhash64 mode is the JVM expression, fnv mode the
+    Arrow UDF; both are process-stable and match their pure-Python twins."""
+    from facebook_crawler_spark.functions.urls import fnv64_signed, frontier_url_hash
+    from facebook_crawler_spark.sim.oracle import _xxh64_signed
+
+    urls = [u for u, _ in CASES]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = df.select(
+        "u",
+        frontier_url_hash(F.col("u")).alias("hx"),
+        frontier_url_hash(F.col("u"), "fnv").alias("hf"),
+    ).collect()
+    for r in rows:
+        assert r.hx == _xxh64_signed(r.u)
+        assert r.hf == fnv64_signed(r.u)
+
+
 def test_expr_canonicalization_golden(spark):
     df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
     got = [r.c for r in df.select(canonicalize_url_expr(F.col("url")).alias("c")).collect()]
