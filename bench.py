@@ -118,7 +118,14 @@ def run_frontier(spark) -> dict:
     from facebook_crawler_spark.sources import synthetic as syn
     from facebook_crawler_spark.streaming.round_runner import CrawlEngine
 
-    images = syn.gen_images(spark, FRONTIER_IMAGES, partitions=CPUS * 2, dim_span=DIM_SPAN)
+    # Lay the images table out hash-partitioned by image_id — the storage
+    # layout the engine's shuffle fetch-join reuses in place (the Iceberg
+    # bucket(N, image_id) analog; on a cluster this is the table's write
+    # layout, not per-crawl work), so payload bytes never cross an exchange
+    # in EITHER fetch-join mode.
+    images = syn.gen_images(
+        spark, FRONTIER_IMAGES, partitions=CPUS * 2, dim_span=DIM_SPAN
+    ).repartition(CPUS, "image_id")
     hosts = syn.gen_hosts(spark, FRONTIER_HOSTS, token_rate=TOKEN_RATE)
     seeds = syn.gen_frontier_seeds(
         spark,

@@ -133,6 +133,8 @@ class CrawlEngine:
         store_payloads: bool = True,
         discovery: DiscoveryConfig | None = None,
         hash_mode: str = "xxhash64",  # "xxhash64" (JVM, production) | "fnv" (sim-parity)
+        fetch_join: str = "auto",  # "auto" | "broadcast" | "shuffle"
+        broadcast_schedule_max: int = 250_000,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -158,6 +160,21 @@ class CrawlEngine:
         # Python entirely; the simulator replays it with its own pure-Python
         # XXH64. "fnv" remains for external oracles wanting a 6-line hash.
         self.hash_mode = hash_mode
+        # Fetch-join strategy (see run_round): "broadcast" ships the round's
+        # slim schedule into the images scan (right when the politeness
+        # budget bounds |selected| — the steady-state crawl); "shuffle" is a
+        # shuffle-hash join where ONLY the slim schedule crosses the
+        # exchange (right when a bulk drain schedules millions of rows per
+        # round — a driver-built broadcast relation of the whole schedule is
+        # a serial, core-count-independent cost). "auto" picks per round
+        # from the free driver-side pending bound (|frontier| − |seen|).
+        # Either way payload bytes never cross an exchange: broadcast joins
+        # stream the images scan; the shuffle path requires the images table
+        # hash-partitioned by image_id (Iceberg bucket(N, image_id) on a
+        # cluster; a pre-clock repartition+cache in the bench), which the
+        # join reuses in place.
+        self.fetch_join = fetch_join
+        self.broadcast_schedule_max = broadcast_schedule_max
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -437,8 +454,26 @@ class CrawlEngine:
         # scale path is bucketing both tables by image_id (co-located
         # join, Iceberg bucket(N)) — same plan property: bytes don't move.
         out_cols = ["image_id", "url_hash", "canonical_url", "host", "host_rank"]
-        slim = selected.select(*out_cols)  # broadcast only what the output needs
-        hit = self.images.join(F.broadcast(slim), "image_id")
+        slim = selected.select(*out_cols)  # join only what the output needs
+        if self.fetch_join == "broadcast":
+            use_broadcast = True
+        elif self.fetch_join == "shuffle":
+            use_broadcast = False
+        else:
+            # pending = |frontier| − |seen| upper-bounds |selected| and is
+            # already known driver-side (no job); past ~250k rows the
+            # broadcast relation build is a serial driver cost (measured
+            # ~25 s flat inside fetch_commit at 1M rows — the single
+            # largest core-count-independent term in the round)
+            pending_bound = self._remaining()
+            use_broadcast = pending_bound is not None and pending_bound <= self.broadcast_schedule_max
+        if use_broadcast:
+            hit = self.images.join(F.broadcast(slim), "image_id")
+        else:
+            # shuffle-hash: slim is the build side (its exchange is the only
+            # one — fully parallel); the images side streams from its
+            # existing image_id hash partitioning with no exchange
+            hit = self.images.join(slim.hint("shuffle_hash"), "image_id")
         miss = slim.join(self.images.select("image_id"), "image_id", "left_anti")
         for c in self.images.columns:
             if c != "image_id":
@@ -638,11 +673,24 @@ class CrawlEngine:
             self.ledger.append(empty)
         mark("ledger")
         if n_ok > 0:
-            # accumulate while this round's `fetched` is still cached; the
-            # union is materialized inside _accumulate_seen before the
-            # cache below is released
-            new_hashes = fetched.filter(F.col("status") == "ok").select("url_hash")
-            self._accumulate_seen(new_hashes)
+            if (
+                self._frontier_rows is not None
+                and (self._seen_rows or 0) + n_ok >= self._frontier_rows
+            ):
+                # this round drained the frontier: no later round will need
+                # the in-memory seen set, so skip its eager localCheckpoint
+                # (a core-count-independent per-run cost). Drop the handle
+                # instead of leaving it stale — _seen() reconstructs from
+                # the fetched table (the resume path) if anyone asks again.
+                if self._seen_df is not None:
+                    self._seen_df.unpersist()
+                self._seen_df = None
+            else:
+                # accumulate while this round's `fetched` is still cached;
+                # the union is materialized inside _accumulate_seen before
+                # the cache below is released
+                new_hashes = fetched.filter(F.col("status") == "ok").select("url_hash")
+                self._accumulate_seen(new_hashes)
         mark("seen")
         selected.unpersist()
         fetched.unpersist()

@@ -120,3 +120,31 @@ def test_discovery_resume_identical(spark, world, engine_run, tmp_path_factory):
     full = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng_full.crawl_order().collect()}
     resumed = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng3.crawl_order().collect()}
     assert full == resumed
+
+
+def test_shuffle_fetch_join_matches_simulator(spark, world, tmp_path_factory):
+    """fetch_join="shuffle" (the bulk-drain scale path: shuffle-hash join
+    where only the slim schedule crosses an exchange) produces the same
+    crawl order and seen set as the simulator — strategy changes the
+    physical plan only, never the semantics. Images are pre-partitioned by
+    image_id as the bench/Iceberg-bucket layout would be."""
+    images, hosts, seeds = world
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    images_part = images.repartition(n_shuffle, "image_id")
+    wd = str(tmp_path_factory.mktemp("disc_shuf"))
+    eng = CrawlEngine(
+        spark, wd, images_part, hosts, error_permille=ERR,
+        discovery=DiscoveryConfig(**DCFG), fetch_join="shuffle",
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=60)
+    frontier_rows = [
+        r.asDict() for r in eng.frontier.read(spark).filter("discovered_round = 0").collect()
+    ]
+    host_rows = [r.asDict() for r in hosts.collect()]
+    sim = simulate(frontier_rows, host_rows, error_permille=ERR, max_rounds=60, discovery=DCFG)
+    engine_order = {
+        (r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()
+    }
+    assert engine_order == set(sim.crawl_order)
+    assert {r.url_hash for r in eng.seen_set().collect()} == sim.seen
