@@ -135,6 +135,7 @@ class CrawlEngine:
         hash_mode: str = "xxhash64",  # "xxhash64" (JVM, production) | "fnv" (sim-parity)
         fetch_join: str = "auto",  # "auto" | "broadcast" | "shuffle"
         broadcast_schedule_max: int = 250_000,
+        images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
     ):
         self.spark = spark
         self.workdir = workdir
@@ -164,17 +165,21 @@ class CrawlEngine:
         # slim schedule into the images scan (right when the politeness
         # budget bounds |selected| — the steady-state crawl); "shuffle" is a
         # shuffle-hash join where ONLY the slim schedule crosses the
-        # exchange (right when a bulk drain schedules millions of rows per
-        # round — a driver-built broadcast relation of the whole schedule is
-        # a serial, core-count-independent cost). "auto" picks per round
-        # from the free driver-side pending bound (|frontier| − |seen|).
-        # Either way payload bytes never cross an exchange: broadcast joins
-        # stream the images scan; the shuffle path requires the images table
-        # hash-partitioned by image_id (Iceberg bucket(N, image_id) on a
-        # cluster; a pre-clock repartition+cache in the bench), which the
-        # join reuses in place.
+        # exchange (the bulk-drain scale path: a driver-built broadcast
+        # relation of a multi-million-row schedule is serial). "auto" picks
+        # per round from the free driver-side pending bound
+        # (|frontier| − |seen|) — but only elects shuffle when the caller
+        # asserted `images_bucketed`: without an image_id hash layout the
+        # shuffle-hash join would exchange the IMAGES side and the payload
+        # bytes would cross the wire, the one plan property this engine
+        # never allows. On a cluster the layout is Iceberg
+        # bucket(N, image_id) with N sized to the DATA (bounded bytes per
+        # bucket), not to the executor count — PLANS.md round 3 measured
+        # what executor-count-sized buckets do to the verify stage's task
+        # granularity.
         self.fetch_join = fetch_join
         self.broadcast_schedule_max = broadcast_schedule_max
+        self.images_bucketed = images_bucketed
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -461,12 +466,14 @@ class CrawlEngine:
             use_broadcast = False
         else:
             # pending = |frontier| − |seen| upper-bounds |selected| and is
-            # already known driver-side (no job); past ~250k rows the
-            # broadcast relation build is a serial driver cost (measured
-            # ~25 s flat inside fetch_commit at 1M rows — the single
-            # largest core-count-independent term in the round)
+            # already known driver-side (no job). Shuffle is only legal
+            # when the images layout was asserted (see __init__).
             pending_bound = self._remaining()
-            use_broadcast = pending_bound is not None and pending_bound <= self.broadcast_schedule_max
+            use_broadcast = not (
+                self.images_bucketed
+                and pending_bound is not None
+                and pending_bound > self.broadcast_schedule_max
+            )
         if use_broadcast:
             hit = self.images.join(F.broadcast(slim), "image_id")
         else:
