@@ -571,10 +571,18 @@ class CrawlEngine:
         fetched = fetched.cache()
 
         # per-host outcome for the quarantine state machine
-        per_host = fetched.groupBy("host").agg(
+        # ONE aggregation of the round's 10^5-10^6 cached rows serves both
+        # per-round consumers: the host state machine reads it directly and
+        # the lineage ledger derives from its ~|hosts| rows (partition_id
+        # is a pure function of host, so regrouping the host rows by it is
+        # exact) — previously each consumer re-aggregated the full cache,
+        # one extra shuffle job per round.
+        host_agg = fetched.groupBy("host").agg(
             F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_cnt"),
             F.max(F.when(F.col("status") == "ok", F.col("fetch_seq"))).alias("last_ok"),
-        ).select(
+        ).cache()  # ~|hosts| rows; materialized by the state overwrite job
+        per_host = host_agg.select(
             "host",
             "n_items",
             (F.col("n_items") - F.coalesce(F.col("last_ok"), F.lit(0))).cast("int").alias("trailing_blocked"),
@@ -596,11 +604,14 @@ class CrawlEngine:
             state_obs, F.sum(F.col("__is_trans").cast("int")).alias("n_trans")
         )
 
-        lineage = fetched.groupBy("partition_id").agg(
-            F.count("*").alias("scheduled"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("fetched"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("errors"),
-            F.countDistinct("host").alias("hosts_touched"),
+        lineage = host_agg.withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int"),
+        ).groupBy("partition_id").agg(
+            F.sum("n_items").alias("scheduled"),
+            F.sum("ok_cnt").alias("fetched"),
+            F.sum(F.col("n_items") - F.col("ok_cnt")).alias("errors"),
+            F.count("*").alias("hosts_touched"),
         ).select(
             F.lit(round_no).alias("round"), "partition_id", "scheduled", "fetched",
             "errors", "hosts_touched", F.current_timestamp().alias("committed_at"),
@@ -700,6 +711,7 @@ class CrawlEngine:
                 self._accumulate_seen(new_hashes)
         mark("seen")
         selected.unpersist()
+        host_agg.unpersist()
         fetched.unpersist()
         self._round = round_no
         self._seen_rows = (self._seen_rows or 0) + n_ok
