@@ -242,6 +242,11 @@ def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     string, extracted with conv(); a bit's vote is +1 when set, -1 when
     clear (a null token row from an empty/NULL doc votes -1 everywhere →
     code 0, matching the previous UDF and the oracle's 2*cnt > n rule).
+
+    Tokenizer note: splitting is Java-regex `\\s+` (ASCII whitespace),
+    matching the DuckDB oracle's string_split_regex — NOT Python
+    str.split()'s all-Unicode whitespace. Documents containing e.g.
+    non-breaking spaces hash differently than under the retired UDF.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     ex = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(

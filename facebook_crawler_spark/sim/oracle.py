@@ -128,7 +128,8 @@ def _children_of(
 ) -> list[dict]:
     """Deterministic outlinks of one successful fetch — the pure-Python twin
     of round_runner._expand_discoveries (same modular arithmetic; the child
-    URL is constructed already-canonical, so url_hash = fnv64 directly)."""
+    URL is constructed already-canonical, so url_hash = hash_fn(url)
+    directly — xxh64 replay by default, fnv in sim-parity mode)."""
     base = parent_hash % 1_000_000_007
     out = []
     for j in range(1, base % d["max_out"] + 1):

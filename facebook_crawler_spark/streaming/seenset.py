@@ -24,13 +24,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MOD = (1 << 63) - 25  # largest prime < 2^63 (keeps JVM/ANSI-safe long math)
+_MOD_U = np.uint64(MOD)
+_KNUTH_HI = np.uint64(0x9E3779B97F4A7C15 >> 32)
+_KNUTH_LO = np.uint64(0x9E3779B97F4A7C15 & 0xFFFFFFFF)
+_SALT = np.uint64(0x85EBCA6B)
+
+
+_C32 = np.uint64(0xFFFFFFFF)
+_FIFTY = np.uint64(50)  # 2^64 ≡ 50 (mod MOD), because 2·MOD = 2^64 − 50
+_CARRY_TERM = np.uint64((50 << 32) % MOD)  # 2^96 ≡ 50·2^32 (mod MOD)
+
+
+def _h1h2(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (h1, h2) = (|h| % MOD, (h1*KNUTH + SALT) % MOD) of the int64
+    url_hash, fully vectorized in uint64 (the previous object-dtype big-int
+    path was a per-element Python loop in disguise). The 128-bit product
+    h1*KNUTH is computed by 32-bit limb splitting — every partial product
+    fits 64 bits exactly — and reduced loop-free via 2^64 ≡ 50 (mod MOD).
+    Bit-identical to the big-int formulation (property-tested in
+    tests/test_streaming_units.py)."""
+    hi64 = h.astype(np.int64)
+    hu = hi64.view(np.uint64)
+    # exact |h|, including int64 min (two's-complement negate in uint64)
+    absu = np.where(hi64 < 0, np.uint64(0) - hu, hu)
+    h1 = absu % _MOD_U
+    s32 = np.uint64(32)
+    a_hi = h1 >> s32  # < 2^31
+    a_lo = h1 & _C32
+    ll = a_lo * _KNUTH_LO  # < 2^64, exact
+    lh = a_lo * _KNUTH_HI  # < 2^64, exact
+    hl = a_hi * _KNUTH_LO  # < 2^63, exact
+    hh = a_hi * _KNUTH_HI  # < 2^63, exact
+    mid = hl + lh  # may wrap exactly once
+    carry = (mid < hl).astype(np.uint64)
+    # h1*KNUTH = hh·2^64 + mid·2^32 + carry·2^96 + ll, reduced term-wise:
+    # mid·2^32 ≡ (mid_lo << 32) + 50·mid_hi  (both summands < 2^64 exact)
+    mid_term = (((mid & _C32) << s32) % _MOD_U + _FIFTY * (mid >> s32)) % _MOD_U
+    # 50·hh with hh < 2^63: split hh = p·2^32 + q, then 50p < 2^37 so
+    # 50p·2^32 ≡ ((50p)_lo << 32) + 50·(50p >> 32), all exact
+    fp_ = _FIFTY * (hh >> s32)
+    hh_term = (
+        (((fp_ & _C32) << s32) % _MOD_U + _FIFTY * (fp_ >> s32)) % _MOD_U
+        + _FIFTY * (hh & _C32)
+    ) % _MOD_U
+    acc = (ll % _MOD_U + mid_term) % _MOD_U
+    acc = (acc + hh_term) % _MOD_U
+    acc = (acc + carry * _CARRY_TERM) % _MOD_U
+    h2 = (acc + _SALT) % _MOD_U
+    return h1, h2
 
 
 def _positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """(n, k) bit positions via double hashing of the int64 url_hash."""
-    h1 = np.abs(h.astype(np.int64).astype(object)) % MOD
-    h2 = (h1 * 0x9E3779B97F4A7C15 + 0x85EBCA6B) % MOD
-    return np.stack([(h1 + i * h2) % MOD % m_bits for i in range(k)], axis=1).astype(np.int64)
+    h1, h2 = _h1h2(h)
+    cols = []
+    acc = h1
+    for _ in range(k):
+        cols.append((acc % np.uint64(m_bits)).astype(np.int64))
+        acc = (acc + h2) % _MOD_U  # stays (h1 + i*h2) % MOD, no wrap
+    return np.stack(cols, axis=1)
 
 
 def build_bloom(df: DataFrame, hash_col: str = "url_hash", m_bits: int = 1 << 20, k: int = 5) -> bytes:
@@ -116,11 +168,10 @@ _FP_MUL = 0x5BD1E995
 
 def _cuckoo_parts(h: np.ndarray, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
     """(i1, fp) for each int64 hash; fp is uint16 and never 0 (0 = empty)."""
-    h1 = np.abs(h.astype(np.int64).astype(object)) % MOD
-    h2 = (h1 * 0x9E3779B97F4A7C15 + 0x85EBCA6B) % MOD
-    fp = (h2.astype(np.uint64) >> np.uint64(20)).astype(np.uint64) & np.uint64(0xFFFF)
+    h1, h2 = _h1h2(h)
+    fp = (h2 >> np.uint64(20)) & np.uint64(0xFFFF)
     fp = np.where(fp == 0, 1, fp).astype(np.uint16)
-    i1 = (h1 % n_buckets).astype(np.int64)
+    i1 = (h1 % np.uint64(n_buckets)).astype(np.int64)
     return i1, fp
 
 

@@ -155,3 +155,45 @@ def test_quarantine_state_machine(spark):
     assert new["a"].consecutive_errors == 2 and not new["a"].quarantined
     assert new["b"].consecutive_errors == 7 and new["b"].quarantined
     assert new["idle"].consecutive_errors == 2 and not new["idle"].quarantined
+
+
+def test_positions_match_bigint_reference():
+    """The uint64 limb-split double-hash must be bit-identical to the
+    big-int (object-dtype) formulation it replaced, across the full int64
+    range including the overflow edges."""
+    import numpy as np
+
+    from facebook_crawler_spark.streaming.seenset import (
+        MOD,
+        _cuckoo_parts,
+        _positions,
+    )
+
+    def ref_positions(h, m_bits, k):
+        h1 = np.abs(h.astype(np.int64).astype(object)) % MOD
+        h2 = (h1 * 0x9E3779B97F4A7C15 + 0x85EBCA6B) % MOD
+        return np.stack(
+            [(h1 + i * h2) % MOD % m_bits for i in range(k)], axis=1
+        ).astype(np.int64)
+
+    def ref_cuckoo(h, n_buckets):
+        h1 = np.abs(h.astype(np.int64).astype(object)) % MOD
+        h2 = (h1 * 0x9E3779B97F4A7C15 + 0x85EBCA6B) % MOD
+        fp = (h2.astype(np.uint64) >> np.uint64(20)).astype(np.uint64) & np.uint64(0xFFFF)
+        fp = np.where(fp == 0, 1, fp).astype(np.uint16)
+        i1 = (h1 % n_buckets).astype(np.int64)
+        return i1, fp
+
+    rng = np.random.default_rng(7)
+    edges = np.array(
+        [0, 1, -1, 2**63 - 1, -(2**63), -(2**63) + 1, MOD, MOD - 1, -MOD, 25, -25],
+        dtype=np.int64,
+    )
+    h = np.concatenate([edges, rng.integers(-(2**63), 2**63 - 1, 20000, dtype=np.int64)])
+    for m_bits in (1 << 10, 1 << 20, 1 << 23):
+        np.testing.assert_array_equal(_positions(h, m_bits, 5), ref_positions(h, m_bits, 5))
+    for n_buckets in (1 << 10, 1 << 17):
+        i1_new, fp_new = _cuckoo_parts(h, n_buckets)
+        i1_ref, fp_ref = ref_cuckoo(h, n_buckets)
+        np.testing.assert_array_equal(i1_new, i1_ref)
+        np.testing.assert_array_equal(fp_new, fp_ref)
