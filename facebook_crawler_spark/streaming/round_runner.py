@@ -204,6 +204,23 @@ class CrawlEngine:
         # commit were a pure per-run flat cost (core-count-independent),
         # exactly what the N→4N scaling ratio is most sensitive to.
         self._frontier_rows: int | None = None
+        # maintained bloom over ALL frontier url_hashes (discovery-dedup
+        # accelerator). Invariant: never missing a committed frontier hash
+        # (false NEGATIVES would re-admit known URLs as "new"); extra hashes
+        # (e.g. from a crashed append) are mere false positives and only
+        # route rows to the exact check. A fresh process rebuilds it from
+        # the frontier table; growth past ~10 bits/key triggers a doubling
+        # rebuild (amortizes to ~2x one final scan over the crawl).
+        self._frontier_bloom: bytes | None = None
+        self._frontier_bloom_bits: int = 0
+        # incrementally maintained pending set (frontier ∖ ok-fetched):
+        # pending_{r+1} = (pending_r ∖ ok_r) ∪ children_r — ok_r is
+        # politeness-bounded (broadcastable) and children_r is the round's
+        # own discovery output, so steady-state rounds never rescan the
+        # frontier or the seen set. Accelerator only: a fresh process
+        # rebuilds it exactly via pending().
+        self._pending_df: DataFrame | None = None
+        self._pending_add: DataFrame | None = None  # children awaiting fold-in
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: DataFrame) -> int:
@@ -231,6 +248,7 @@ class CrawlEngine:
         ).observe(obs, F.count(F.lit(1)).alias("n"))
         version = self.frontier.overwrite(rows)
         self._frontier_rows = int(obs.get["n"] or 0)
+        self._frontier_bloom = None  # seed replaces the frontier wholesale
         self.host_state.overwrite(
             self.hosts.select(
                 "host", "token_rate", "ban_threshold",
@@ -287,29 +305,14 @@ class CrawlEngine:
             )
         return self._seen_df
 
-    def _accumulate_seen(self, new_ok_hashes: DataFrame) -> None:
-        base = self._seen()
-        grown = new_ok_hashes if base is None else base.unionByName(new_ok_hashes)
-        # cap partition count: each round's union adds the new batch's
-        # partitions, and the bloom build collects one m/8-byte bitmap per
-        # partition — unbounded growth made round cost climb linearly
-        # (measured 9s → 18s over 8 rounds before this coalesce)
-        grown = grown.coalesce(self.spark.sparkContext.defaultParallelism)
-        # localCheckpoint EVERY round: it both materializes the union (while
-        # this round's `fetched` is still cached) and truncates the logical
-        # plan. Mere persist() is not enough — each round's pending plan
-        # would embed the previous round's entire tree and the plan grows
-        # exponentially (observed: driver OOM stringifying the plan by
-        # round ~20). On a cluster, swap for reliable checkpoint(dir) —
-        # localCheckpoint blocks die with their executor.
-        grown = grown.localCheckpoint(eager=True)
-        if base is not None:
-            base.unpersist()
-        self._seen_df = grown
-
     def pending(self) -> DataFrame:
         """frontier ∖ successfully-fetched, exact, bloom-accelerated once
-        the seen set is large enough for the bloom to pay for itself."""
+        the seen set is large enough for the bloom to pay for itself.
+
+        This is the FULL recomputation — used once per process (initial
+        build / resume); steady-state rounds use the incrementally
+        maintained set (`_pending`), whose per-round cost is bounded by
+        |pending| + the round's fetch count instead of |frontier| + |seen|."""
         frontier = self._frontier()
         seen = self._seen()
         if seen is None:
@@ -325,6 +328,58 @@ class CrawlEngine:
                 unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
             return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
         return frontier.join(seen, "url_hash", "left_anti")
+
+    def _pending(self) -> DataFrame:
+        """The maintained pending set (see __init__). First call per
+        process pays the exact rebuild; a fresh frontier (seen empty) just
+        aliases the persisted frontier cache — its plan is a flat table
+        scan, so no checkpoint is needed until rounds start folding in."""
+        if self._pending_df is None:
+            base = self.pending()
+            if (self._seen_rows or 0) > 0:
+                base = base.localCheckpoint(eager=True)
+            self._pending_df = base
+        return self._pending_df
+
+    def _fold_pending(self, ok_hashes: DataFrame) -> None:
+        """pending ← (pending ∖ this round's ok) ∪ this round's children.
+        Broadcast anti (ok is politeness-bounded); the coalesce caps
+        partition-count growth from the per-round unions. localCheckpoint
+        EVERY round both materializes while the round's caches are hot and
+        truncates the logical plan — mere persist() would let each round's
+        plan embed the previous round's entire tree (exponential growth,
+        observed driver OOM stringifying the plan by round ~20). On a
+        cluster, swap for reliable checkpoint(dir) — localCheckpoint blocks
+        die with their executor."""
+        base = self._pending()
+        nxt = base.join(F.broadcast(ok_hashes), "url_hash", "left_anti")
+        if self._pending_add is not None:
+            nxt = nxt.unionByName(self._pending_add.select(*base.columns))
+        nxt = nxt.coalesce(self.spark.sparkContext.defaultParallelism)
+        nxt = nxt.localCheckpoint(eager=True)
+        if base is not self._frontier_df:
+            base.unpersist()
+        if self._pending_add is not None:
+            self._pending_add.unpersist()
+            self._pending_add = None
+        self._pending_df = nxt
+
+    def _discovery_bloom(self) -> tuple[bytes, int]:
+        """The maintained whole-frontier bloom (see __init__). Rebuilt from
+        the frontier table on first use in a process and whenever the
+        frontier outgrows ~10 bits/key (doubling, so total rebuild work
+        amortizes to about two final-size scans)."""
+        rows = self._frontier_rows
+        if rows is None:
+            rows = self._frontier().count()
+            self._frontier_rows = rows
+        need = max(self.bloom_bits, 1 << (max(rows, 1) * 10 - 1).bit_length())
+        if self._frontier_bloom is None or self._frontier_bloom_bits < need:
+            self._frontier_bloom_bits = need
+            self._frontier_bloom = build_bloom(
+                self._frontier().select("url_hash"), m_bits=need
+            )
+        return self._frontier_bloom, self._frontier_bloom_bits
 
     def _expand_discoveries(self, selected: DataFrame, fetched: DataFrame, round_no: int) -> int:
         """Append this round's deterministic outlinks to the frontier
@@ -370,8 +425,27 @@ class CrawlEngine:
             "url_hash", frontier_url_hash(F.col("canonical_url"), self.hash_mode)
         )
         w = Window.partitionBy("url_hash").orderBy(F.col("seed_rank").asc(), F.col("canonical_url").asc())
-        deduped = canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
-        new = deduped.join(self._frontier().select("url_hash"), "url_hash", "left_anti")
+        # persisted: referenced by the bloom split, the exact backstop, and
+        # the bloom update below — all bounded by this round's fan-out
+        deduped = (
+            canon.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+        ).persist()
+        # Frontier-dedup via the maintained whole-frontier bloom: the bloom
+        # routes definitely-new children straight through; only the maybe
+        # sliver (true dups + false positives) gets the exact check. The
+        # exact check itself never shuffles the frontier: dup hashes are
+        # found by a broadcast SEMI-join INTO the (column-pruned) frontier
+        # scan, then the sliver anti-joins that bounded dup set. The old
+        # form anti-joined children against the full frontier — a 10^10-row
+        # url_hash shuffle every discovery round.
+        bloom, m_bits = self._discovery_bloom()
+        unseen, maybe = split_by_bloom(deduped, bloom, m_bits=m_bits)
+        dup_hashes = (
+            self._frontier()
+            .select("url_hash")
+            .join(F.broadcast(maybe.select("url_hash")), "url_hash", "left_semi")
+        )
+        new = unseen.unionByName(maybe.join(F.broadcast(dup_hashes), "url_hash", "left_anti"))
         salted = (
             new.join(F.broadcast(self.hosts.select("host", "salt_factor")), "host", "left")
             .withColumn(
@@ -384,15 +458,31 @@ class CrawlEngine:
             "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
             "priority", "seed_rank", F.lit(round_no).alias("discovered_round"),
         )
-        # the count rides the append write via an Observation (one job, not
-        # count-then-append two); an all-dup round's append is a commit-level
-        # no-op (Table.append skips part-less writes)
+        # the count rides the bloom-update job via an Observation (no extra
+        # count job); an all-dup round's append is a commit-level no-op
+        # (Table.append skips part-less writes)
         from pyspark.sql import Observation
 
         obs = Observation()
-        rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("n")).persist()
+        # Fold the new hashes into the maintained frontier bloom BEFORE the
+        # append: if the append then crashes, the bloom merely carries false
+        # positives (safe); the reverse order could leave committed hashes
+        # missing from the bloom (unsafe). The build also materializes the
+        # cache the append below reuses.
+        import numpy as np
+
+        bloom_new = build_bloom(rows, m_bits=self._frontier_bloom_bits)
+        self._frontier_bloom = (
+            np.frombuffer(self._frontier_bloom, dtype=np.uint8)
+            | np.frombuffer(bloom_new, dtype=np.uint8)
+        ).tobytes()
         self.frontier.append(rows)
         n_new = int(obs.get["n"] or 0)
+        deduped.unpersist()
+        # children stay persisted until _fold_pending (same thread) unions
+        # them into the maintained pending set and unpersists them
+        self._pending_add = rows
         if self._frontier_rows is not None:
             self._frontier_rows += n_new
         if n_new and self._frontier_df is not None:
@@ -439,7 +529,7 @@ class CrawlEngine:
         # budget join, so hosts OUTSIDE the dimension can safely fall back to
         # the default budget — the same default the simulator applies.
         eligible = (
-            self.pending()
+            self._pending()
             .filter(F.col("discovered_round") < round_no)
             .join(F.broadcast(quarantined), "host", "left_anti")
         )
@@ -481,7 +571,15 @@ class CrawlEngine:
             # one — fully parallel); the images side streams from its
             # existing image_id hash partitioning with no exchange
             hit = self.images.join(slim.hint("shuffle_hash"), "image_id")
-        miss = slim.join(self.images.select("image_id"), "image_id", "left_anti")
+        # Fetch-miss detection bounded by the SCHEDULE, not the images table:
+        # miss = slim ∖ hit.url_hash. Both anti-join sides are politeness-
+        # bounded (|hit| ≤ |slim|), so the broadcast anti has no exchange at
+        # all; the only extra images touch is a column-pruned id-only
+        # re-derivation of `hit`, which rides the same scan shape as the
+        # fetch join itself. The previous form (slim anti-join the FULL
+        # images id column) shuffled the 10^10-row id column every round —
+        # even when misses were rare.
+        miss = slim.join(F.broadcast(hit.select("url_hash")), "url_hash", "left_anti")
         for c in self.images.columns:
             if c != "image_id":
                 miss = miss.withColumn(c, F.lit(None).cast(dict(self.images.dtypes)[c]))
@@ -654,19 +752,35 @@ class CrawlEngine:
             n_ok = int(agg.ok) if agg.ok is not None else 0
         mark("fetch_commit")
 
-        n_alerts = 0
-        if n_sched > 0:
+        # Commit overlap: the three post-fetch branches are mutually
+        # independent, so they run in two concurrent threads —
+        #   A: host_state overwrite (+ the rare alert append)
+        #   B: discovery expansion, THEN the seen-set accumulate (B keeps
+        #      the old sequential order internally: the drained-frontier
+        #      check reads the post-discovery frontier count)
+        # — and the LEDGER append stays strictly AFTER both: it is the round
+        # barrier, and committing it before any data/state write could
+        # finish would let a crash strand a "committed" round with missing
+        # data. Each branch already tolerates being the only one to land
+        # before a crash (state: pinned-version walk-back; discovery:
+        # idempotent dedup + discovered_round filter; seen: in-memory only).
+        # Spark job submission is thread-safe; the tables are distinct
+        # directories; the ~0.5-1 s/branch of driver-side commit tail
+        # (manifest write, file moves) now overlaps instead of summing.
+        def _branch_state() -> int:
+            if n_sched == 0:
+                return 0
             # host_state.overwrite is deterministic given the PINNED state
-            # input (see round start), so it runs unconditionally on re-runs;
-            # the commit meta records which round it belongs to.
+            # input (see round start), so it runs unconditionally on
+            # re-runs; the commit meta records which round it belongs to.
             self.host_state.overwrite(
                 staged_state.select(
                     "host", "token_rate", "ban_threshold", "consecutive_errors", "quarantined"
                 ),
                 meta={"round": round_no},
             )
-            n_alerts = int(state_obs.get["n_trans"] or 0)
-            if n_alerts and not already_alerted:
+            n = int(state_obs.get["n_trans"] or 0)
+            if n and not already_alerted:
                 self.alerts.append(
                     staged_state.filter("__is_trans").select(
                         F.lit(round_no).alias("round"),
@@ -675,12 +789,45 @@ class CrawlEngine:
                         F.lit("ban_threshold_reached").alias("reason"),
                     )
                 )
-        mark("state_commit")
-        n_disc = 0
-        if self.discovery is not None and n_ok > 0:
-            # before the ledger barrier (see _expand_discoveries docstring)
-            n_disc = self._expand_discoveries(selected, fetched, round_no)
-        mark("discovery")
+            return n
+
+        def _branch_disc_seen() -> int:
+            n_d = 0
+            if self.discovery is not None and n_ok > 0:
+                # before the ledger barrier (see _expand_discoveries docstring)
+                n_d = self._expand_discoveries(selected, fetched, round_no)
+            if n_ok > 0:
+                if (
+                    self._frontier_rows is not None
+                    and (self._seen_rows or 0) + n_ok >= self._frontier_rows
+                ):
+                    # this round drained the frontier: no later round will
+                    # need the maintained pending set, so skip the final
+                    # fold/localCheckpoint (a core-count-independent
+                    # per-run flat cost). Drop the handles instead of
+                    # leaving them stale — _pending() rebuilds exactly from
+                    # the tables (the resume path) if anyone asks again.
+                    if self._pending_df is not None and self._pending_df is not self._frontier_df:
+                        self._pending_df.unpersist()
+                    self._pending_df = None
+                    if self._pending_add is not None:
+                        self._pending_add.unpersist()
+                        self._pending_add = None
+                    self._seen_df = None
+                else:
+                    # fold while this round's `fetched` is still cached
+                    ok_h = fetched.filter(F.col("status") == "ok").select("url_hash")
+                    self._fold_pending(ok_h)
+            return n_d
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_state = pool.submit(_branch_state)
+            fut_disc = pool.submit(_branch_disc_seen)
+            n_alerts = fut_state.result()
+            n_disc = fut_disc.result()
+        mark("state_disc_seen")
         if n_sched > 0:
             self.ledger.append(lineage)
         else:
@@ -690,26 +837,6 @@ class CrawlEngine:
             ).withColumn("committed_at", F.current_timestamp())
             self.ledger.append(empty)
         mark("ledger")
-        if n_ok > 0:
-            if (
-                self._frontier_rows is not None
-                and (self._seen_rows or 0) + n_ok >= self._frontier_rows
-            ):
-                # this round drained the frontier: no later round will need
-                # the in-memory seen set, so skip its eager localCheckpoint
-                # (a core-count-independent per-run cost). Drop the handle
-                # instead of leaving it stale — _seen() reconstructs from
-                # the fetched table (the resume path) if anyone asks again.
-                if self._seen_df is not None:
-                    self._seen_df.unpersist()
-                self._seen_df = None
-            else:
-                # accumulate while this round's `fetched` is still cached;
-                # the union is materialized inside _accumulate_seen before
-                # the cache below is released
-                new_hashes = fetched.filter(F.col("status") == "ok").select("url_hash")
-                self._accumulate_seen(new_hashes)
-        mark("seen")
         selected.unpersist()
         host_agg.unpersist()
         fetched.unpersist()
