@@ -17,8 +17,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+try:  # spark-submit runs this file as a top-level script: sys.path[0] is
+    # THIS package directory, not its parent, so the package itself is not
+    # importable until the --py-files zip lands on sys.path (which happens
+    # only after the SparkContext starts). Bootstrap the repo-root layout;
+    # a shipped --py-files zip that already resolves the import skips this.
+    import facebook_crawler_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
