@@ -12,9 +12,10 @@ of these are first-class engine operators:
 
 Everything compiles to built-in Catalyst expressions (md5, conv,
 higher-order array functions) — no Python in any hot path. MinHash and
-SimHash use md5 instead of xxhash64 so the same computation is expressible
-in ANSI SQL for the DuckDB oracle; swap `_hash_fn` for xxhash64 when oracle
-parity is not needed (same plan shape, ~2x faster hashing).
+SimHash default to md5 so the same computation is expressible in ANSI SQL
+for the DuckDB oracle; `minhash_lsh_candidates(..., hash_family="xxh")`
+runs the identical plan on JVM xxhash64 (long signatures, ~4x cheaper)
+when oracle parity is not needed — the production setting.
 """
 
 from __future__ import annotations
@@ -76,8 +77,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _hash_fn(s: Column, seed: int) -> Column:
-    """Seeded string hash with an ANSI-SQL-expressible definition."""
+def _hash_fn(s: Column, seed: int, family: str = "md5") -> Column:
+    """Seeded string hash. "md5" is ANSI-SQL-expressible (the DuckDB-oracle
+    family the gates pin); "xxh" is JVM xxhash64 — codegen'd, and its
+    signatures shuffle as 8-byte longs instead of 32-char strings (the
+    production family; ~2x cheaper per hash, ~4x smaller shuffle rows)."""
+    if family == "xxh":
+        return F.xxhash64(s, F.lit(seed))
     return F.md5(F.concat(s, F.lit(f"#{seed}")))
 
 
@@ -120,6 +126,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -128,6 +135,13 @@ def minhash_lsh_candidates(
     self-join *within buckets only* — never an all-pairs crossJoin. Bucket
     skew (a degenerate bucket holding half the table) is the risk at scale;
     callers cap bucket width via `max_bucket` in `_pairs_within_buckets`.
+
+    `hash_family`: "md5" (default) keeps every hash replayable in ANSI SQL
+    for the DuckDB oracle; "xxh" runs the identical plan on JVM xxhash64 —
+    long signatures instead of 32-char strings, so both the 16 per-shingle
+    hashes and the shuffled signature rows are ~4x cheaper (the family a
+    production deployment uses; identical-content duplicates land in the
+    same buckets under either family).
     """
     rows_per_band = n_hashes // bands
     # Aggregation-shaped minhash (the scale shape): explode shingles, hash
@@ -142,21 +156,34 @@ def minhash_lsh_candidates(
     )
     ex = sh_df.select("id", F.explode_outer("__sh").alias("__shingle"))
     hashed = ex.select(
-        "id", *[_hash_fn(F.col("__shingle"), i).alias(f"__h{i}") for i in range(n_hashes)]
+        "id",
+        *[_hash_fn(F.col("__shingle"), i, hash_family).alias(f"__h{i}") for i in range(n_hashes)],
     )
+    # empty-doc sentinel: a value outside the family's realistic range so
+    # empty shingle sets never bucket with real content (per-seed distinct)
+    def _empty(i: int) -> Column:
+        if hash_family == "xxh":
+            return F.lit((1 << 63) - 1 - i)
+        return F.lit(f"EMPTY#{i}")
+
     sig = hashed.groupBy("id").agg(
-        *[
-            F.coalesce(F.min(f"__h{i}"), F.lit(f"EMPTY#{i}")).alias(f"__h{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.coalesce(F.min(f"__h{i}"), _empty(i)).alias(f"__h{i}") for i in range(n_hashes)]
     )
-    band_cols = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])),
-        )
-        for b in range(bands)
-    ]
+    if hash_family == "xxh":
+        band_cols = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])),
+            )
+            for b in range(bands)
+        ]
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
     return _pairs_within_buckets(exploded, "band")
 

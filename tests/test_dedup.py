@@ -70,3 +70,36 @@ def test_bucket_width_guardrail(spark):
     df = spark.createDataFrame([(i, "same text everywhere") for i in range(300)], ["doc_id", "text"])
     cands = dd.minhash_lsh_candidates(df, "doc_id", "text")
     assert cands.count() == 0  # bucket wider than max_bucket → dropped, no O(n^2) blowup
+
+
+def test_minhash_xxh_family_finds_exact_dups(spark):
+    """hash_family="xxh" (production JVM xxhash64) runs the same plan shape;
+    identical-content docs must land in the same buckets under any minwise
+    family, so every exact-dup pair found by md5 is found by xxh too."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i % 7}") for i in range(40)]
+        + [(100, ""), (101, None)],
+        "doc_id long, text string",
+    )
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    xxh_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(
+            docs, "doc_id", "text", hash_family="xxh"
+        ).collect()
+    }
+    # identical texts (same i % 7) share full shingle sets → same signature
+    exact_dups = {
+        (a, b) for a in range(40) for b in range(a + 1, 40) if a % 7 == b % 7
+    }
+    assert exact_dups <= md5_pairs
+    assert exact_dups <= xxh_pairs
+    # empty/NULL docs take the sentinel path: they may pair with each other
+    # (identical sentinel signatures, same as the md5 family) but must
+    # never pair with a content doc
+    assert not any((a > 99) != (b > 99) for a, b in xxh_pairs)
