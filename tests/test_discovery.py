@@ -148,3 +148,22 @@ def test_shuffle_fetch_join_matches_simulator(spark, world, tmp_path_factory):
     }
     assert engine_order == set(sim.crawl_order)
     assert {r.url_hash for r in eng.seen_set().collect()} == sim.seen
+
+
+def test_incremental_pending_matches_full_rebuild(spark, world, tmp_path_factory):
+    """The maintained pending set (pending ∖ ok ∪ children per round) must
+    equal the from-tables rebuild (frontier ∖ seen) at any stopping point —
+    the invariant that makes it a pure accelerator."""
+    images, hosts, seeds = world
+    wd = str(tmp_path_factory.mktemp("pinv"))
+    eng = CrawlEngine(
+        spark, wd, images, hosts, error_permille=ERR, discovery=DiscoveryConfig(**DCFG)
+    )
+    eng.seed(seeds)
+    for _ in range(4):  # stop mid-crawl so the drained-path drop doesn't fire
+        eng.run_round()
+    maintained = {r.url_hash for r in eng._pending().select("url_hash").collect()}
+    # force the full rebuild path a fresh process would take
+    eng._seen_df = None
+    rebuilt = {r.url_hash for r in eng.pending().select("url_hash").collect()}
+    assert maintained == rebuilt and len(maintained) > 0
