@@ -2,7 +2,7 @@
 
 The north_rule deployment shape:
 
-    spark-submit --py-files fcs.zip -m ... \
+    spark-submit --py-files fcs.zip --driver-memory 16g -m ... \
         facebook_crawler_spark/run_crawl.py \
         --workdir /data/crawl1 --urls 1000000 --images 200000 \
         --hosts 200 --token-rate 1500 --rounds 100 --discovery
@@ -11,6 +11,12 @@ On a cluster, --master and executor settings come from spark-submit; in
 local mode the session factory picks local[$SPARK_GRAFT_CPUS]. Resume:
 re-running with the same --workdir continues from the committed ledger
 (seeding is skipped when the frontier table already exists).
+
+NOTE: pass --driver-memory to spark-submit explicitly. The session
+factory's spark.driver.memory=8g only applies when the JVM is launched
+lazily (plain `python`); under spark-submit the JVM already exists, the
+builder setting is silently ignored, and the 1g default OOMs the Arrow
+allocator at crawl scale (a warning below checks the live heap).
 """
 
 from __future__ import annotations
@@ -51,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     from facebook_crawler_spark.streaming.round_runner import CrawlEngine, DiscoveryConfig
 
     spark = get_spark(app_name="fcs-crawl")
+    heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    if heap < 4 << 30:
+        print(
+            f"WARNING: driver JVM heap is {heap / (1 << 30):.1f} GiB — under "
+            "spark-submit the session factory's spark.driver.memory is "
+            "ignored; pass --driver-memory 16g (Arrow buffers OOM a 1g "
+            "driver at crawl scale)",
+            file=sys.stderr,
+        )
     images = syn.gen_images(spark, args.images, dim_span=args.dim_span).cache()
     hosts = syn.gen_hosts(spark, args.hosts, token_rate=args.token_rate)
     disc = (
