@@ -221,6 +221,13 @@ class CrawlEngine:
         # rebuilds it exactly via pending().
         self._pending_df: DataFrame | None = None
         self._pending_add: DataFrame | None = None  # children awaiting fold-in
+        # strong references to in-flight bloom/cuckoo broadcasts: the split
+        # UDFs serialize only the broadcast ID, so without these the
+        # ContextCleaner can destroy the blocks under GC pressure while a
+        # lazy (or eviction-recomputed) plan still needs them. Cleared at
+        # the end of each round, after every consumer plan has been
+        # checkpoint-truncated.
+        self._bc_refs: list = []
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: DataFrame) -> int:
@@ -322,10 +329,14 @@ class CrawlEngine:
                 # size to ≤75% load: next power of two ≥ seen/3 (4 slots)
                 n_buckets = 1 << max(10, ((self._seen_rows or 1) // 3).bit_length())
                 table = build_cuckoo(seen, n_buckets=n_buckets)
-                unseen, maybe = split_by_cuckoo(frontier, table, n_buckets=n_buckets)
+                unseen, maybe = split_by_cuckoo(
+                    frontier, table, n_buckets=n_buckets, ref_holder=self._bc_refs
+                )
             else:
                 bloom = build_bloom(seen, m_bits=self.bloom_bits)
-                unseen, maybe = split_by_bloom(frontier, bloom, m_bits=self.bloom_bits)
+                unseen, maybe = split_by_bloom(
+                    frontier, bloom, m_bits=self.bloom_bits, ref_holder=self._bc_refs
+                )
             return unseen.unionByName(maybe.join(seen, "url_hash", "left_anti"))
         return frontier.join(seen, "url_hash", "left_anti")
 
@@ -439,7 +450,7 @@ class CrawlEngine:
         # form anti-joined children against the full frontier — a 10^10-row
         # url_hash shuffle every discovery round.
         bloom, m_bits = self._discovery_bloom()
-        unseen, maybe = split_by_bloom(deduped, bloom, m_bits=m_bits)
+        unseen, maybe = split_by_bloom(deduped, bloom, m_bits=m_bits, ref_holder=self._bc_refs)
         dup_hashes = (
             self._frontier()
             .select("url_hash")
@@ -840,6 +851,10 @@ class CrawlEngine:
         selected.unpersist()
         host_agg.unpersist()
         fetched.unpersist()
+        # every consumer of this round's bloom/cuckoo broadcasts is now
+        # checkpoint-truncated (pending fold) or fully materialized — safe
+        # to let the ContextCleaner reclaim them
+        self._bc_refs.clear()
         self._round = round_no
         self._seen_rows = (self._seen_rows or 0) + n_ok
         return {

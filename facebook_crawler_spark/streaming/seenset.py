@@ -119,11 +119,23 @@ def split_by_bloom(
     hash_col: str = "url_hash",
     m_bits: int = 1 << 20,
     k: int = 5,
+    ref_holder: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(definitely_unseen, maybe_seen) — maybe_seen still needs the exact
-    anti-join; definitely_unseen provably has no match in the seen set."""
+    anti-join; definitely_unseen provably has no match in the seen set.
+
+    `ref_holder`: the UDF is serialized with the broadcast's ID only — no
+    strong reference survives pickling — so if the returned plans stay lazy
+    (or a cached partition is evicted and recomputed) after this Python
+    Broadcast wrapper is GC'd, the ContextCleaner may have destroyed the
+    blocks ("Block broadcast_N does not exist"). Callers that keep lazy
+    plans alive must pass a list; the broadcast is appended and stays
+    referenced until the caller clears it (CrawlEngine clears per round,
+    after every consumer plan has been checkpoint-truncated)."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(bloom)
+    if ref_holder is not None:
+        ref_holder.append(bc)
     n_bytes = m_bits // 8
 
     from pyspark.sql.functions import pandas_udf
@@ -255,11 +267,15 @@ def split_by_cuckoo(
     hash_col: str = "url_hash",
     n_buckets: int = 1 << 17,
     slots: int = 4,
+    ref_holder: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(definitely_unseen, maybe_seen) via the broadcast cuckoo table; same
-    never-gambles contract as split_by_bloom."""
+    never-gambles contract — and same broadcast-lifetime contract (see
+    split_by_bloom's ref_holder note) — as the bloom variant."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(table)
+    if ref_holder is not None:
+        ref_holder.append(bc)
 
     from pyspark.sql.functions import pandas_udf
 
