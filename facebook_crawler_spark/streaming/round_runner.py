@@ -127,6 +127,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 20,
         bloom_min_seen: int = 100_000,
+        bloom_driver_budget: int = 1 << 30,
         seen_filter: str = "bloom",  # "bloom" | "cuckoo" (see seenset.py trade-off)
         cache_frontier: bool = True,
         verify_payloads: bool = True,
@@ -148,6 +149,21 @@ class CrawlEngine:
         # bloom build+broadcast round trip; above it the bloom keeps the
         # anti-join input to the maybe-seen sliver (M5 scale path)
         self.bloom_min_seen = bloom_min_seen
+        # Hard cap on the maintained frontier bloom's DRIVER bytes (the
+        # filter lives on the driver between rounds and is broadcast per
+        # discovery round). The natural sizing is 10 bits/frontier-key —
+        # 1.25 GB at 10^9 keys, 12.5 GB at the 10^10 design point — so
+        # an uncapped bloom plus its OR temp plus the broadcast copy would
+        # blow any sane --driver-memory (run_crawl.py's guidance is 16g).
+        # Capping is SAFE by the route-never-decide contract: fewer bits →
+        # more false positives → more rows routed to the exact dup check,
+        # never a wrong answer. Past ~budget×0.8 keys (< ~1 bit/key even
+        # with k adapted to 1) the bloom degrades toward pass-through and
+        # the exact check carries the load; the at-scale mitigation is
+        # sharding the filter by url_hash range across several budget-sized
+        # arrays (or running discovery dedup purely exact) — stated here so
+        # the bound is explicit rather than discovered at 10^10.
+        self.bloom_driver_budget = bloom_driver_budget
         self.seen_filter = seen_filter
         self.cache_frontier = cache_frontier
         self.verify_payloads = verify_payloads
@@ -213,6 +229,7 @@ class CrawlEngine:
         # rebuild (amortizes to ~2x one final scan over the crawl).
         self._frontier_bloom: bytes | None = None
         self._frontier_bloom_bits: int = 0
+        self._frontier_bloom_k: int = 5
         # incrementally maintained pending set (frontier ∖ ok-fetched):
         # pending_{r+1} = (pending_r ∖ ok_r) ∪ children_r — ok_r is
         # politeness-bounded (broadcastable) and children_r is the round's
@@ -375,22 +392,34 @@ class CrawlEngine:
             self._pending_add = None
         self._pending_df = nxt
 
-    def _discovery_bloom(self) -> tuple[bytes, int]:
+    def _discovery_bloom(self) -> tuple[bytes, int, int]:
         """The maintained whole-frontier bloom (see __init__). Rebuilt from
         the frontier table on first use in a process and whenever the
         frontier outgrows ~10 bits/key (doubling, so total rebuild work
-        amortizes to about two final-size scans)."""
+        amortizes to about two final-size scans).
+
+        Size is clamped to `bloom_driver_budget` bytes (see __init__ for
+        the safety argument); when the clamp bites, k is re-derived as the
+        FP-optimal ~0.69·m/n (floored at 1) instead of the fixed 5 — at low
+        bits/key five probes only saturate the array faster. Incremental
+        folds (_expand_discoveries) reuse the stored (bits, k) so every OR
+        into the maintained array addresses identical positions."""
         rows = self._frontier_rows
         if rows is None:
             rows = self._frontier().count()
             self._frontier_rows = rows
         need = max(self.bloom_bits, 1 << (max(rows, 1) * 10 - 1).bit_length())
+        need = min(need, self.bloom_driver_budget * 8)
         if self._frontier_bloom is None or self._frontier_bloom_bits < need:
+            k = max(1, min(5, round(0.69 * need / max(rows, 1))))
+            # build into locals; commit the triple together only on success
+            # (a failed rebuild job must not leave bits/k disagreeing with
+            # the array a retry would OR into)
+            bloom = build_bloom(self._frontier().select("url_hash"), m_bits=need, k=k)
+            self._frontier_bloom = bloom
             self._frontier_bloom_bits = need
-            self._frontier_bloom = build_bloom(
-                self._frontier().select("url_hash"), m_bits=need
-            )
-        return self._frontier_bloom, self._frontier_bloom_bits
+            self._frontier_bloom_k = k
+        return self._frontier_bloom, self._frontier_bloom_bits, self._frontier_bloom_k
 
     def _expand_discoveries(self, selected: DataFrame, fetched: DataFrame, round_no: int) -> int:
         """Append this round's deterministic outlinks to the frontier
@@ -449,8 +478,10 @@ class CrawlEngine:
         # scan, then the sliver anti-joins that bounded dup set. The old
         # form anti-joined children against the full frontier — a 10^10-row
         # url_hash shuffle every discovery round.
-        bloom, m_bits = self._discovery_bloom()
-        unseen, maybe = split_by_bloom(deduped, bloom, m_bits=m_bits, ref_holder=self._bc_refs)
+        bloom, m_bits, bloom_k = self._discovery_bloom()
+        unseen, maybe = split_by_bloom(
+            deduped, bloom, m_bits=m_bits, k=bloom_k, ref_holder=self._bc_refs
+        )
         dup_hashes = (
             self._frontier()
             .select("url_hash")
@@ -483,7 +514,9 @@ class CrawlEngine:
         # cache the append below reuses.
         import numpy as np
 
-        bloom_new = build_bloom(rows, m_bits=self._frontier_bloom_bits)
+        bloom_new = build_bloom(
+            rows, m_bits=self._frontier_bloom_bits, k=self._frontier_bloom_k
+        )
         self._frontier_bloom = (
             np.frombuffer(self._frontier_bloom, dtype=np.uint8)
             | np.frombuffer(bloom_new, dtype=np.uint8)
@@ -584,13 +617,19 @@ class CrawlEngine:
             hit = self.images.join(slim.hint("shuffle_hash"), "image_id")
         # Fetch-miss detection bounded by the SCHEDULE, not the images table:
         # miss = slim ∖ hit.url_hash. Both anti-join sides are politeness-
-        # bounded (|hit| ≤ |slim|), so the broadcast anti has no exchange at
-        # all; the only extra images touch is a column-pruned id-only
-        # re-derivation of `hit`, which rides the same scan shape as the
-        # fetch join itself. The previous form (slim anti-join the FULL
-        # images id column) shuffled the 10^10-row id column every round —
-        # even when misses were rare.
-        miss = slim.join(F.broadcast(hit.select("url_hash")), "url_hash", "left_anti")
+        # bounded (|hit| ≤ |slim|), so in the broadcast regime the anti has
+        # no exchange at all; the only extra images touch is a column-pruned
+        # id-only re-derivation of `hit`, which rides the same (pruned) scan
+        # shape as the fetch join itself. The previous form (slim anti-join
+        # the FULL images id column) shuffled the 10^10-row id column every
+        # round — even when misses were rare. In the shuffle regime the
+        # schedule was judged too big to broadcast, so hit.url_hash (same
+        # cardinality) must not be broadcast either: both sides shuffle —
+        # two schedule-bounded exchanges, still never touching images.
+        hit_hashes = hit.select("url_hash")
+        if use_broadcast:
+            hit_hashes = F.broadcast(hit_hashes)
+        miss = slim.join(hit_hashes, "url_hash", "left_anti")
         for c in self.images.columns:
             if c != "image_id":
                 miss = miss.withColumn(c, F.lit(None).cast(dict(self.images.dtypes)[c]))

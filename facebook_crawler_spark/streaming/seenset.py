@@ -85,12 +85,34 @@ def _positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
-def build_bloom(df: DataFrame, hash_col: str = "url_hash", m_bits: int = 1 << 20, k: int = 5) -> bytes:
+def build_bloom(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    tree_fanin: int = 64,
+    direct_collect_max: int = 256 << 20,
+) -> bytes:
     """Build the global bloom over `df[hash_col]`.
 
-    Each partition builds a local m-bit array (mapInPandas), the driver
-    OR-reduces one row per partition — the collect is #partitions × m/8
-    bytes, independent of row count.
+    Each partition builds a local m-bit array (mapInPandas). The OR-reduce
+    then runs one of two ways, picked by the driver-collect bound:
+
+    - **direct** (#partitions × m/8 ≤ `direct_collect_max`): the driver
+      collects one m/8-byte row per partition and ORs them — no exchange,
+      right at sandbox scale (32 × 1 MiB = 32 MiB).
+    - **tree** (beyond the bound): fixed-fan-in repartition + in-partition
+      OR stages until one row remains, so the driver collects exactly m/8
+      bytes no matter how many partitions built blooms. Each stage's
+      exchange ships ⌈rows/fanin⌉ × m/8 bytes spread across executors —
+      the P × m/8 total still moves, but never through the driver. This is
+      what keeps the build viable when m is sized for a 10^10-key frontier
+      (the old driver fold collected terabytes at that scale; see
+      round_runner._discovery_bloom for the matching cap on m itself).
+
+    The result is bit-identical between the two paths (OR is associative/
+    commutative and positions depend only on (hash, m, k)) — property-
+    tested in tests/test_streaming_units.py.
     """
     n_bytes = m_bits // 8
 
@@ -106,7 +128,23 @@ def build_bloom(df: DataFrame, hash_col: str = "url_hash", m_bits: int = 1 << 20
         if touched:
             yield pd.DataFrame({"bloom": [bits.tobytes()]})
 
-    parts = df.select(hash_col).mapInPandas(per_partition, "bloom binary").collect()
+    def or_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for buf in pdf["bloom"]:
+                a = np.frombuffer(buf, dtype=np.uint8)
+                acc = a.copy() if acc is None else acc | a
+        if acc is not None:
+            yield pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    blooms = df.select(hash_col).mapInPandas(per_partition, "bloom binary")
+    nparts = max(1, blooms.rdd.getNumPartitions())
+    if nparts * n_bytes > direct_collect_max:
+        est = nparts
+        while est > 1:
+            est = -(-est // tree_fanin)  # ceil
+            blooms = blooms.repartition(est).mapInPandas(or_partition, "bloom binary")
+    parts = blooms.collect()
     out = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         out |= np.frombuffer(row.bloom, dtype=np.uint8)

@@ -90,6 +90,70 @@ def test_bloom_empty_seen(spark):
     assert unseen.count() == 10 and maybe.count() == 0
 
 
+def test_bloom_tree_reduce_bit_identical(spark):
+    """The tree OR-reduce (fixed-fan-in stages, driver collects one row)
+    must produce the exact bytes of the direct per-partition collect —
+    forced here with direct_collect_max=0 and fanin=2 over 16 partitions
+    so at least ceil(log2(16)) = 4 tree stages actually run."""
+    seen = spark.range(0, 5000, 1, 16).select((F.col("id") * 2654435761).alias("url_hash"))
+    direct = build_bloom(seen, m_bits=1 << 14)
+    tree = build_bloom(seen, m_bits=1 << 14, tree_fanin=2, direct_collect_max=0)
+    assert direct == tree
+
+
+def test_bloom_capped_no_false_negative(spark):
+    """A bloom far too small for its key count (1024 bits, 5000 keys, k=1)
+    saturates toward pass-through but NEVER reports an inserted key as
+    definitely-unseen — the property that makes capping the frontier
+    bloom's driver bytes safe (round_runner.bloom_driver_budget)."""
+    seen = spark.range(0, 5000).select((F.col("id") * 7919 + 3).alias("url_hash"))
+    bloom = build_bloom(seen, m_bits=1 << 10, k=1)
+    unseen, maybe = split_by_bloom(seen, bloom, m_bits=1 << 10, k=1)
+    assert unseen.count() == 0 and maybe.count() == 5000
+
+
+def test_bloom_incremental_or_equals_batch(spark):
+    """build(A) | build(B) == build(A ∪ B) bit-for-bit (same m, k) — the
+    invariant the maintained frontier bloom's per-round OR fold relies on."""
+    import numpy as np
+
+    a = spark.range(0, 700).select((F.col("id") * 31 + 5).alias("url_hash"))
+    b = spark.range(700, 1500).select((F.col("id") * 31 + 5).alias("url_hash"))
+    both = a.unionByName(b)
+    m = 1 << 13
+    ba = np.frombuffer(build_bloom(a, m_bits=m, k=3), dtype=np.uint8)
+    bb = np.frombuffer(build_bloom(b, m_bits=m, k=3), dtype=np.uint8)
+    assert (ba | bb).tobytes() == build_bloom(both, m_bits=m, k=3)
+
+
+def test_crawl_capped_bloom_matches_uncapped(spark, tmp_path_factory):
+    """Discovery crawl with the frontier bloom capped to 128 driver bytes
+    (1024 bits for a ~2k-URL frontier → heavy false positives, adapted k)
+    reproduces the uncapped engine's crawl order exactly: the cap only
+    widens the maybe-sliver routed to the exact dup check."""
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine, DiscoveryConfig
+
+    images = syn.gen_images(spark, 300, partitions=4, dim_span=9).cache()
+    hosts = syn.gen_hosts(spark, 6, token_rate=40, ban_threshold=15)
+    seeds = syn.gen_frontier_seeds(spark, 900, n_images=300, n_hosts=6)
+    dcfg = DiscoveryConfig(n_images=300, n_hosts=6, hot_pct=40, hot_host=syn.HOT_HOST)
+    orders = []
+    for budget in (1 << 30, 128):
+        wd = str(tmp_path_factory.mktemp(f"capb_{budget}"))
+        eng = CrawlEngine(
+            spark, wd, images, hosts, error_permille=50,
+            discovery=dcfg, bloom_driver_budget=budget,
+        )
+        eng.seed(seeds)
+        eng.run(max_rounds=30)
+        assert len(eng._frontier_bloom) <= budget
+        orders.append(
+            {(r.round, r.host, r.host_rank, r.url_hash) for r in eng.crawl_order().collect()}
+        )
+    assert orders[0] == orders[1] and orders[0]
+
+
 def _mk_pending(spark, rows):
     return spark.createDataFrame(
         rows, "host string, host_salt int, priority int, seed_rank long, url_hash long, canonical_url string"
