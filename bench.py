@@ -52,7 +52,15 @@ FETCH_JOIN = os.environ.get("BENCH_FETCH_JOIN", "auto")  # ablation knob
 # box the isolation A/B (PLANS.md round 3) measured the configs equal
 # within a stable noise window; plain stays the default because CPUS-sized
 # buckets starve the verify stage's task granularity at low core counts.
-IMG_LAYOUT = os.environ.get("BENCH_IMG_LAYOUT", "plain")  # "plain" | "repart"
+# "bucketed" = written to disk partitioned by bucket(N, image_id) with
+# per-file image_id sort (sources/layout.py) and the engine pruning every
+# round's scan to the schedule's buckets — the 100-TB config (per-round
+# I/O O(schedule), not O(|images|); see tools/fetch_prune_ab.py for the
+# isolation A/B). plain stays the bench default: at sandbox scale the
+# whole images table is page-cached and the scheduling measurement should
+# not absorb parquet open/decode overhead.
+IMG_LAYOUT = os.environ.get("BENCH_IMG_LAYOUT", "plain")  # "plain" | "repart" | "bucketed"
+IMG_BUCKETS = int(os.environ.get("BENCH_IMG_BUCKETS", "1024"))
 
 # Scaling-evidence configuration (--scaling): the N→4N criterion needs a
 # CPU-dominated job — on a single box the shared disk caps payload-write IO
@@ -129,12 +137,21 @@ def run_frontier(spark) -> dict:
     from facebook_crawler_spark.streaming.round_runner import CrawlEngine
 
     images = syn.gen_images(spark, FRONTIER_IMAGES, partitions=CPUS * 2, dim_span=DIM_SPAN)
+    img_dir = None
     if IMG_LAYOUT == "repart":
         # hash-lay the images out by image_id (the Iceberg bucket analog,
         # done pre-clock like the table write layout it stands in for);
         # CPUS*2 buckets keep per-task payload bounded with load-balance
         # slack — bucket count sizes to the data, not the executor count
         images = images.repartition(CPUS * 2, "image_id")
+    elif IMG_LAYOUT == "bucketed":
+        from facebook_crawler_spark.sources.layout import (
+            read_bucketed_images, write_bucketed_images,
+        )
+
+        img_dir = tempfile.mkdtemp(prefix="fcs-bench-imglayout-")
+        write_bucketed_images(images, img_dir, IMG_BUCKETS)  # pre-clock
+        images = read_bucketed_images(spark, img_dir)
     hosts = syn.gen_hosts(spark, FRONTIER_HOSTS, token_rate=TOKEN_RATE)
     seeds = syn.gen_frontier_seeds(
         spark,
@@ -149,10 +166,14 @@ def run_frontier(spark) -> dict:
             spark, wd, images, hosts, error_permille=0, bloom_bits=1 << 23,
             store_payloads=STORE_PAYLOADS, verify_payloads=VERIFY_PAYLOADS,
             fetch_join=FETCH_JOIN, images_bucketed=IMG_LAYOUT == "repart",
+            images_n_buckets=IMG_BUCKETS if IMG_LAYOUT == "bucketed" else 0,
         )
-        # materialize inputs before the clock starts (generation is not fetch)
-        images = images.cache()
-        images.count()
+        # materialize inputs before the clock starts (generation is not
+        # fetch). The bucketed layout deliberately stays UNcached — reading
+        # the pruned scan from disk every round is the measurement.
+        if IMG_LAYOUT != "bucketed":
+            images = images.cache()
+            images.count()
         t_seed0 = time.perf_counter()
         eng.seed(seeds)
         t_seed = time.perf_counter() - t_seed0
@@ -178,6 +199,8 @@ def run_frontier(spark) -> dict:
         }
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+        if img_dir:
+            shutil.rmtree(img_dir, ignore_errors=True)
 
 
 def main() -> dict:

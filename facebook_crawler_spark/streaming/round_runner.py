@@ -137,6 +137,7 @@ class CrawlEngine:
         fetch_join: str = "auto",  # "auto" | "broadcast" | "shuffle"
         broadcast_schedule_max: int = 250_000,
         images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
+        images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
     ):
         self.spark = spark
         self.workdir = workdir
@@ -196,6 +197,18 @@ class CrawlEngine:
         self.fetch_join = fetch_join
         self.broadcast_schedule_max = broadcast_schedule_max
         self.images_bucketed = images_bucketed
+        # Schedule-pruned images scan (sources/layout.py): when the caller
+        # read `images` from a bucket(n, image_id) layout, every round's
+        # fetch join restricts the scan to the partitions + row groups the
+        # round's schedule can possibly hit — per-round bytes read become
+        # O(touched buckets), not O(|images|). This is the disk-layout
+        # complement of `images_bucketed` (which asserts an in-memory HASH
+        # layout for the shuffle-hash join): a partitionBy directory layout
+        # is NOT hash-partitioned in Catalyst's eyes, so don't assert
+        # images_bucketed for it — the pruned scan pairs with the broadcast
+        # fetch join, which is the steady-state politeness-bounded regime
+        # anyway.
+        self.images_n_buckets = images_n_buckets
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -534,6 +547,38 @@ class CrawlEngine:
             self._frontier_df = None  # re-read (and re-persist) with children
         return n_new
 
+    def _prune_images_for(self, schedule: DataFrame) -> DataFrame:
+        """Restrict the images scan to what this round's schedule can hit
+        (images_n_buckets > 0; see __init__ and sources/layout.py).
+
+        One driver-side aggregation of the (cached, politeness-bounded)
+        schedule yields the bucket IN-set — cardinality ≤ n_buckets, never
+        the schedule's — plus the id range; both push into the scan as
+        PartitionFilters (file skipping) and PushedFilters (row-group
+        min/max skipping). The filters are sound by construction: every
+        scheduled image_id maps into the IN-set and range, so hit AND miss
+        sets are bit-identical with and without pruning (tested in
+        tests/test_fetch_pruning.py). The reference analog: the crawler
+        fetches ONLY its scheduled URLs (crawlers/details_crawler.py:57-61)
+        — it never re-reads its whole corpus per batch, and with this
+        layout neither does the engine."""
+        from facebook_crawler_spark.sources.layout import BUCKET_COL, bucket_expr
+
+        row = schedule.agg(
+            F.collect_set(bucket_expr(self.images_n_buckets)).alias("buckets"),
+            F.min("image_id").alias("lo"),
+            F.max("image_id").alias("hi"),
+        ).first()
+        buckets = sorted(row.buckets or [])
+        if not buckets:
+            return self.images  # empty schedule: join output is empty anyway
+        pruned = self.images.filter(F.col(BUCKET_COL).isin(buckets))
+        if len(buckets) == self.images_n_buckets:
+            # schedule touches every bucket — keep the range predicate only
+            # (row-group skipping can still bite; the IN-set cannot)
+            pruned = self.images
+        return pruned.filter(F.col("image_id").between(row.lo, row.hi))
+
     def run_round(self) -> dict[str, int]:
         import time
 
@@ -608,13 +653,16 @@ class CrawlEngine:
                 and pending_bound is not None
                 and pending_bound > self.broadcast_schedule_max
             )
+        images_src = (
+            self._prune_images_for(slim) if self.images_n_buckets else self.images
+        )
         if use_broadcast:
-            hit = self.images.join(F.broadcast(slim), "image_id")
+            hit = images_src.join(F.broadcast(slim), "image_id")
         else:
             # shuffle-hash: slim is the build side (its exchange is the only
             # one — fully parallel); the images side streams from its
             # existing image_id hash partitioning with no exchange
-            hit = self.images.join(slim.hint("shuffle_hash"), "image_id")
+            hit = images_src.join(slim.hint("shuffle_hash"), "image_id")
         # Fetch-miss detection bounded by the SCHEDULE, not the images table:
         # miss = slim ∖ hit.url_hash. Both anti-join sides are politeness-
         # bounded (|hit| ≤ |slim|), so in the broadcast regime the anti has
