@@ -136,12 +136,17 @@ def minhash_lsh_candidates(
     skew (a degenerate bucket holding half the table) is the risk at scale;
     callers cap bucket width via `max_bucket` in `_pairs_within_buckets`.
 
-    `hash_family`: "md5" (default) keeps every hash replayable in ANSI SQL
-    for the DuckDB oracle; "xxh" runs the identical plan on JVM xxhash64 —
-    long signatures instead of 32-char strings, so both the 16 per-shingle
-    hashes and the shuffled signature rows are ~4x cheaper (the family a
-    production deployment uses; identical-content duplicates land in the
-    same buckets under either family).
+    `hash_family`: **"xxh" is the production recommendation at scale** —
+    it runs the identical plan on JVM xxhash64, with long signatures
+    instead of 32-char strings, so both the 16 per-shingle hashes and the
+    shuffled signature rows are ~4x cheaper; measured 6.80 s (md5) vs
+    4.83 s (xxh) warm at sf0.1 local[32] with identical candidate pairs on
+    that corpus (PLANS.md round 4). "md5" stays the DEFAULT only because
+    it keeps every hash replayable in ANSI SQL for the DuckDB correctness
+    oracle — a cross-engine-checkability constraint, not a performance
+    choice. Identical-content duplicates land in the same buckets under
+    either family; near-dup candidate sets may differ at the margin since
+    the two families draw different random permutations.
     """
     rows_per_band = n_hashes // bands
     # Aggregation-shaped minhash (the scale shape): explode shingles, hash

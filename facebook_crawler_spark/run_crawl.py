@@ -17,6 +17,16 @@ factory's spark.driver.memory=8g only applies when the JVM is launched
 lazily (plain `python`); under spark-submit the JVM already exists, the
 builder setting is silently ignored, and the 1g default OOMs the Arrow
 allocator at crawl scale (a warning below checks the live heap).
+
+DRIVER-MEMORY SIZING for the discovery-dedup bloom: the maintained
+whole-frontier bloom naturally sizes at 10 bits/frontier-key of PYTHON
+driver memory (not JVM heap) — ~1.25 GB per 10^9 frontier URLs, ~3x that
+transiently during a rebuild's OR fold + broadcast. CrawlEngine clamps it
+at `bloom_driver_budget` (default 1 GiB); past ~10^9 keys the capped
+filter degrades gracefully toward pass-through (more exact-check traffic,
+never wrong answers), so raise the budget — and the box's memory — with
+the frontier, or shard the filter, rather than assuming 10^10 keys fit
+the default.
 """
 
 from __future__ import annotations

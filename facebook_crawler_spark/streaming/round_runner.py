@@ -251,6 +251,22 @@ class CrawlEngine:
         # rebuilds it exactly via pending().
         self._pending_df: DataFrame | None = None
         self._pending_add: DataFrame | None = None  # children awaiting fold-in
+        # deferred-ledger overlap (run() only): the round's ledger append is
+        # submitted to the engine pool and awaited by the NEXT round just
+        # before its first table write — so the ledger's driver-side commit
+        # tail (~0.3-0.5 s: manifest write, file moves) overlaps the next
+        # round's pure-driver plan construction instead of serializing with
+        # it. The await point preserves the barrier invariant (at most ONE
+        # round's data may exist beyond the last committed ledger round):
+        # no round-r+1 write of ANY table starts until ledger r has landed,
+        # so a crash still leaves exactly the states the resume walk-back
+        # and idempotent-append guards already handle. Direct run_round()
+        # callers keep the fully synchronous commit (defer off by default).
+        self._ledger_fut = None
+        self._pool = None
+        # per-engine cached verify UDF: pandas_udf construction costs py4j
+        # round trips; the function is round-independent so build it once
+        self._verify_fn = None
         # strong references to in-flight bloom/cuckoo broadcasts: the split
         # UDFs serialize only the broadcast ID, so without these the
         # ContextCleaner can destroy the blocks under GC pressure while a
@@ -579,7 +595,25 @@ class CrawlEngine:
             pruned = self.images
         return pruned.filter(F.col("image_id").between(row.lo, row.hi))
 
-    def run_round(self) -> dict[str, int]:
+    def _commit_pool(self):
+        """Engine-lifetime two-worker pool for the commit branches and the
+        deferred ledger append (thread churn per round is measurable at
+        sandbox round rates)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2)
+        return self._pool
+
+    def _await_ledger(self) -> None:
+        """Barrier for a deferred ledger append (see __init__): must run
+        before any table write of the following round and at the end of
+        run(). Re-raises the append's exception, if any."""
+        if self._ledger_fut is not None:
+            fut, self._ledger_fut = self._ledger_fut, None
+            fut.result()
+
+    def run_round(self, defer_ledger: bool = False) -> dict[str, int]:
         import time
 
         tmark: dict[str, float] = {}
@@ -678,9 +712,17 @@ class CrawlEngine:
         if use_broadcast:
             hit_hashes = F.broadcast(hit_hashes)
         miss = slim.join(hit_hashes, "url_hash", "left_anti")
-        for c in self.images.columns:
-            if c != "image_id":
-                miss = miss.withColumn(c, F.lit(None).cast(dict(self.images.dtypes)[c]))
+        # null-stamp every non-key images column in ONE select (a
+        # withColumn per column is a py4j round trip + plan node each —
+        # pure plan-phase driver time at zero semantic gain)
+        miss = miss.select(
+            "*",
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in self.images.dtypes
+                if c != "image_id"
+            ],
+        )
         fetched = hit.unionByName(miss).withColumn(
             "status",
             F.when(_error_expr(round_no, self.error_permille), F.lit("blocked"))
@@ -711,7 +753,9 @@ class CrawlEngine:
             # arithmetic is unchanged; `verified` is reconstructed as:
             # NULL for unfetched rows (bytes null), false iff the verifier
             # rejected the row, else true.
-            verify = _verify_udf()
+            if self._verify_fn is None:
+                self._verify_fn = _verify_udf()
+            verify = self._verify_fn
             failed = (
                 fetched.select(
                     "url_hash",
@@ -831,6 +875,10 @@ class CrawlEngine:
             and self.alerts.read(self.spark).filter(F.col("round") == round_no).limit(1).count() > 0
         )
         self._fresh_process = False
+        # deferred-ledger barrier: the previous round's ledger commit ran
+        # while this round's plan was built above; it must land before this
+        # round's first table write (any residual wait lands in "plan")
+        self._await_ledger()
         mark("plan")
 
         if not already_written:
@@ -918,30 +966,45 @@ class CrawlEngine:
                     self._fold_pending(ok_h)
             return n_d
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_state = pool.submit(_branch_state)
-            fut_disc = pool.submit(_branch_disc_seen)
-            n_alerts = fut_state.result()
-            n_disc = fut_disc.result()
+        pool = self._commit_pool()
+        fut_state = pool.submit(_branch_state)
+        fut_disc = pool.submit(_branch_disc_seen)
+        n_alerts = fut_state.result()
+        n_disc = fut_disc.result()
         mark("state_disc_seen")
-        if n_sched > 0:
-            self.ledger.append(lineage)
+
+        def _append_ledger() -> None:
+            # the round caches stay alive until the append lands (lineage
+            # reads host_agg reads fetched); cleanup rides the same unit so
+            # the deferred path can't unpersist under an in-flight append
+            try:
+                if n_sched > 0:
+                    self.ledger.append(lineage)
+                else:
+                    empty = self.spark.createDataFrame(
+                        [(round_no, -1, 0, 0, 0, 0)],
+                        "round int, partition_id int, scheduled bigint, fetched bigint, errors bigint, hosts_touched bigint",
+                    ).withColumn("committed_at", F.current_timestamp())
+                    self.ledger.append(empty)
+            finally:
+                selected.unpersist()
+                host_agg.unpersist()
+                fetched.unpersist()
+                # every consumer of this round's bloom/cuckoo broadcasts is
+                # checkpoint-truncated (pending fold) or fully materialized
+                # — safe to let the ContextCleaner reclaim them. The next
+                # round appends no new refs before _await_ledger (blooms
+                # run post-fetch, and the fetch waits on this future).
+                self._bc_refs.clear()
+
+        if defer_ledger:
+            # run()-only overlap: the commit tail lands while the NEXT
+            # round plans; _await_ledger() (before that round's first
+            # write, and at the end of run()) is the barrier
+            self._ledger_fut = pool.submit(_append_ledger)
         else:
-            empty = self.spark.createDataFrame(
-                [(round_no, -1, 0, 0, 0, 0)],
-                "round int, partition_id int, scheduled bigint, fetched bigint, errors bigint, hosts_touched bigint",
-            ).withColumn("committed_at", F.current_timestamp())
-            self.ledger.append(empty)
+            _append_ledger()
         mark("ledger")
-        selected.unpersist()
-        host_agg.unpersist()
-        fetched.unpersist()
-        # every consumer of this round's bloom/cuckoo broadcasts is now
-        # checkpoint-truncated (pending fold) or fully materialized — safe
-        # to let the ContextCleaner reclaim them
-        self._bc_refs.clear()
         self._round = round_no
         self._seen_rows = (self._seen_rows or 0) + n_ok
         return {
@@ -976,13 +1039,19 @@ class CrawlEngine:
         remaining > 0 but nothing is schedulable (quarantined hosts,
         robots-blocked URLs) still terminate via scheduled == 0 as before."""
         stats = []
-        for _ in range(max_rounds):
-            if self._remaining() == 0:
-                break
-            s = self.run_round()
-            stats.append(s)
-            if s["scheduled"] == 0:
-                break
+        try:
+            for _ in range(max_rounds):
+                if self._remaining() == 0:
+                    break
+                s = self.run_round(defer_ledger=True)
+                stats.append(s)
+                if s["scheduled"] == 0:
+                    break
+        finally:
+            # the last round's deferred ledger must land before run()
+            # returns — callers (and a successor engine on this workdir)
+            # read the ledger as the committed-round source of truth
+            self._await_ledger()
         return stats
 
     # ------------------------------------------------------------- outputs
