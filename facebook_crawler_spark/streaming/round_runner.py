@@ -687,6 +687,30 @@ class CrawlEngine:
                 and pending_bound is not None
                 and pending_bound > self.broadcast_schedule_max
             )
+            if (
+                use_broadcast
+                and not self.images_bucketed
+                and pending_bound is not None
+                and pending_bound > self.broadcast_schedule_max
+                and not getattr(self, "_warned_big_broadcast", False)
+            ):
+                self._warned_big_broadcast = True  # once per engine
+                # no legal fallback exists without an image_id layout (a
+                # plain shuffle join would move payload bytes through the
+                # exchange), so warn instead of silently building a
+                # broadcast hash relation of this cardinality on every
+                # executor — observed OOMing a 16 GB executor at ~1M rows
+                import sys
+
+                print(
+                    f"WARNING: fetch join broadcasting a schedule bounded "
+                    f"by {pending_bound} rows (> broadcast_schedule_max="
+                    f"{self.broadcast_schedule_max}); executors must hold "
+                    f"the full hash relation. For bulk drains, lay images "
+                    f"out by image_id (images_bucketed / images_n_buckets) "
+                    f"so the shuffle-hash or pruned path applies.",
+                    file=sys.stderr,
+                )
         images_src = (
             self._prune_images_for(slim) if self.images_n_buckets else self.images
         )
