@@ -139,6 +139,7 @@ class CrawlEngine:
         images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
         images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
         frontier_n_buckets: int = 0,  # >0: frontier table partitioned by p_fbucket = pmod(url_hash, n)
+        prebuild_bloom: bool = True,  # run(): stage the discovery bloom's cold-start build in the pool
     ):
         self.spark = spark
         self.workdir = workdir
@@ -223,6 +224,7 @@ class CrawlEngine:
         # partition-discovered root, so reads union per-commit scans and
         # the filter pushes into each (see Table.read).
         self.frontier_n_buckets = frontier_n_buckets
+        self.prebuild_bloom = prebuild_bloom
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -278,6 +280,10 @@ class CrawlEngine:
         # callers keep the fully synchronous commit (defer off by default).
         self._ledger_fut = None
         self._pool = None
+        # in-flight cold-start prebuild of the discovery bloom (run() stages
+        # it in the pool so the full-frontier bloom scan overlaps round 1's
+        # other startup jobs); drained by _expand_discoveries before use
+        self._bloom_prebuild = None
         # per-engine cached verify UDF: pandas_udf construction costs py4j
         # round trips; the function is round-independent so build it once
         self._verify_fn = None
@@ -323,6 +329,15 @@ class CrawlEngine:
         rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
         version = self.frontier.overwrite(rows, partition_by=pb)
         self._frontier_rows = int(obs.get["n"] or 0)
+        # drain any in-flight cold-start bloom prebuild BEFORE the reset —
+        # a build completing after it would install a bloom of the replaced
+        # frontier (false negatives = re-admitted dups)
+        fut, self._bloom_prebuild = self._bloom_prebuild, None
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:
+                pass
         self._frontier_bloom = None  # seed replaces the frontier wholesale
         self.host_state.overwrite(
             self.hosts.select(
@@ -529,6 +544,16 @@ class CrawlEngine:
         # scan, then the sliver anti-joins that bounded dup set. The old
         # form anti-joined children against the full frontier — a 10^10-row
         # url_hash shuffle every discovery round.
+        fut, self._bloom_prebuild = self._bloom_prebuild, None
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:
+                # the prebuild commits (bloom, bits, k) atomically only on
+                # success, so a failed background build leaves clean state —
+                # the inline call below simply rebuilds (and raises visibly
+                # if the failure was real, not a transient)
+                pass
         bloom, m_bits, bloom_k = self._discovery_bloom()
         unseen, maybe = split_by_bloom(
             deduped, bloom, m_bits=m_bits, k=bloom_k, ref_holder=self._bc_refs
@@ -1126,6 +1151,26 @@ class CrawlEngine:
         remaining > 0 but nothing is schedulable (quarantined hosts,
         robots-blocked URLs) still terminate via scheduled == 0 as before."""
         stats = []
+        if (
+            self.prebuild_bloom
+            and self.discovery is not None
+            and self._frontier_bloom is None
+            and self.frontier.exists()
+        ):
+            # Cold-start overlap (SURVEY round-4 open item): the
+            # whole-frontier discovery bloom and round 1's other startup
+            # jobs (the resume-path pending rebuild, or a fresh run's first
+            # fetch) are independent full scans — stage the bloom build in
+            # the engine pool so they overlap instead of serializing.
+            # Correctness is unchanged: the frontier table cannot gain rows
+            # between here and round 1's dedup (children append later in
+            # the same round), and _expand_discoveries drains the future
+            # before first use. Materialize the lazy shared handles on THIS
+            # thread first so the pool thread doesn't race the caches; a
+            # drained crawl (remaining == 0) skips the build outright.
+            if self._remaining():
+                self._frontier()
+                self._bloom_prebuild = self._commit_pool().submit(self._discovery_bloom)
         try:
             for _ in range(max_rounds):
                 if self._remaining() == 0:

@@ -122,6 +122,34 @@ def test_discovery_resume_identical(spark, world, engine_run, tmp_path_factory):
     assert full == resumed
 
 
+def test_resume_prebuild_off_identical(spark, world, engine_run, tmp_path_factory):
+    """prebuild_bloom toggles only WHEN the discovery bloom is built
+    (staged in the pool at run() start vs inline at the first discovery) —
+    never what it contains: a resumed crawl with the prebuild disabled is
+    identical to the uninterrupted default-config run (whose resume twin,
+    prebuild ON, is pinned by test_discovery_resume_identical)."""
+    images, hosts, seeds = world
+    eng_full, _ = engine_run
+
+    wd = str(tmp_path_factory.mktemp("disc_kill_npb"))
+    eng2 = CrawlEngine(
+        spark, wd, images, hosts, error_permille=ERR,
+        discovery=DiscoveryConfig(**DCFG), prebuild_bloom=False,
+    )
+    eng2.seed(seeds)
+    for _ in range(2):
+        eng2.run_round()
+    eng3 = CrawlEngine(
+        spark, wd, images, hosts, error_permille=ERR,
+        discovery=DiscoveryConfig(**DCFG), prebuild_bloom=False,
+    )
+    eng3.run(max_rounds=60)
+
+    full = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng_full.crawl_order().collect()}
+    resumed = {(r.round, r.host, r.host_rank, r.url_hash) for r in eng3.crawl_order().collect()}
+    assert full == resumed
+
+
 def test_shuffle_fetch_join_matches_simulator(spark, world, tmp_path_factory):
     """fetch_join="shuffle" (the bulk-drain scale path: shuffle-hash join
     where only the slim schedule crosses an exchange) produces the same
