@@ -184,6 +184,33 @@ class Table:
             return reduce(DataFrame.unionByName, (spark.read.parquet(d) for d in dirs))
         return spark.read.parquet(*dirs)
 
+    def data_dir_count(self, version: int | None = None) -> int:
+        """Number of data directories the given (default: current) snapshot
+        references — the width of the union `read` builds for a partitioned
+        table, and the root count of a plain multi-dir scan."""
+        v = self.current_version() if version is None else version
+        return len(self._read_manifest(v)) if v else 0
+
+    def compact(self, spark: SparkSession) -> int:
+        """Iceberg `rewrite_data_files` analog: rewrite the CURRENT
+        snapshot's rows into a single data directory and commit it as a new
+        version (same rows, same partition spec — physical layout only).
+        Bounds the union width / root count that grows with append count;
+        real Iceberg makes this unnecessary for planning (one
+        metadata-pruned scan regardless of commit count) but still runs it
+        for small-file compaction. Old versions stay readable (time travel
+        intact) until `expire_versions` reclaims them; a crash mid-compact
+        leaves at worst an orphan data dir no manifest references."""
+        v = self.current_version()
+        if self.data_dir_count(v) <= 1:
+            return v
+        pb = self._partition_by(v)
+        return self.overwrite(
+            self.read(spark, version=v),
+            meta={"compacted_from": v},
+            partition_by=pb or None,
+        )
+
     def expire_versions(self, keep_last: int = 1) -> int:
         """Iceberg `expire_snapshots` analog (S8 staging GC): delete version
         manifests older than the newest `keep_last`, then remove data dirs

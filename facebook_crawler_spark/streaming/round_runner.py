@@ -140,6 +140,7 @@ class CrawlEngine:
         images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
         frontier_n_buckets: int = 0,  # >0: frontier table partitioned by p_fbucket = pmod(url_hash, n)
         prebuild_bloom: bool = True,  # run(): stage the discovery bloom's cold-start build in the pool
+        frontier_compact_dirs: int = 64,  # compact the frontier when its snapshot spans >= this many data dirs (0 = off)
     ):
         self.spark = spark
         self.workdir = workdir
@@ -225,6 +226,7 @@ class CrawlEngine:
         # the filter pushes into each (see Table.read).
         self.frontier_n_buckets = frontier_n_buckets
         self.prebuild_bloom = prebuild_bloom
+        self.frontier_compact_dirs = frontier_compact_dirs
         self.frontier = Table(os.path.join(workdir, "frontier"))
         self.fetched = Table(os.path.join(workdir, "fetched"))
         self.host_state = Table(os.path.join(workdir, "host_state"))
@@ -608,6 +610,20 @@ class CrawlEngine:
             )
         else:
             self.frontier.append(rows)
+        if (
+            self.frontier_compact_dirs
+            and self.frontier.data_dir_count() >= self.frontier_compact_dirs
+        ):
+            # Bound the frontier's commit-dir count (union width for the
+            # bucketed layout, root count otherwise): rewrite the snapshot
+            # into one commit every `frontier_compact_dirs` appends. The
+            # rewrite is a full-frontier job, but triggered once per
+            # threshold appends it amortizes to O(|frontier|/threshold)
+            # per round — and on real Iceberg it is planning-irrelevant
+            # (metadata-pruned scan) and becomes a small-files maintenance
+            # job. Layout-only: the row set is unchanged, so crawl order,
+            # resume, and the maintained bloom/pending are unaffected.
+            self.frontier.compact(self.spark)
         n_new = int(obs.get["n"] or 0)
         deduped.unpersist()
         # children stay persisted until _fold_pending (same thread) unions

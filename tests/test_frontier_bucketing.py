@@ -137,3 +137,58 @@ def test_dup_scan_plan_is_pruned(spark, world, tmp_path_factory):
         .join(F.broadcast(maybe), "url_hash", "left_semi")
     )
     assert {r.url_hash for r in dup.collect()} == {r.url_hash for r in exact.collect()}
+
+
+def test_table_compact(spark, tmp_path):
+    """Table.compact (Iceberg rewrite_data_files analog): same rows, same
+    partition spec, ONE data dir, old versions readable until expired."""
+    t = Table(str(tmp_path / "ct"))
+    for lo in (0, 40, 80):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id").alias("url_hash"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("p_fbucket"),
+        )
+        (t.overwrite if lo == 0 else t.append)(df, partition_by=["p_fbucket"])
+    assert t.data_dir_count() == 3
+    v_before = t.current_version()
+    rows_before = {r.url_hash for r in t.read(spark).collect()}
+    v_after = t.compact(spark)
+    assert v_after == v_before + 1 and t.data_dir_count() == 1
+    assert {r.url_hash for r in t.read(spark).collect()} == rows_before
+    assert t._partition_by() == ["p_fbucket"]
+    # partition pruning still works on the compacted layout
+    assert t.read(spark).filter("p_fbucket = 2").count() == 30
+    # time travel intact until expire
+    assert t.read(spark, version=v_before).count() == 120
+    t.expire_versions(keep_last=1)
+    assert t.read(spark).count() == 120
+    # compacting a single-dir snapshot is a no-op
+    assert t.compact(spark) == v_after
+
+
+def test_compacting_crawl_matches_plain(spark, world, tmp_path_factory):
+    """frontier_compact_dirs keeps the bucketed frontier's union width
+    bounded while leaving the crawl bit-identical to the plain engine."""
+    images, hosts, seeds = world
+    wd_p = str(tmp_path_factory.mktemp("fbc_plain"))
+    plain = CrawlEngine(
+        spark, wd_p, images, hosts, error_permille=50,
+        discovery=DiscoveryConfig(**DCFG),
+    )
+    plain.seed(seeds)
+    plain.run(max_rounds=30)
+
+    wd_c = str(tmp_path_factory.mktemp("fbc_comp"))
+    eng = CrawlEngine(
+        spark, wd_c, images, hosts, error_permille=50,
+        discovery=DiscoveryConfig(**DCFG), frontier_n_buckets=NB,
+        frontier_compact_dirs=3,
+    )
+    eng.seed(seeds)
+    stats = eng.run(max_rounds=30)
+    assert sum(s["discovered"] for s in stats) > 3  # compaction fired
+    assert eng.frontier.data_dir_count() <= 3
+    assert _order(spark, eng) == _order(spark, plain)
+    assert {r.url_hash for r in eng.seen_set().collect()} == {
+        r.url_hash for r in plain.seen_set().collect()
+    }
