@@ -62,6 +62,17 @@ FETCH_JOIN = os.environ.get("BENCH_FETCH_JOIN", "auto")  # ablation knob
 IMG_LAYOUT = os.environ.get("BENCH_IMG_LAYOUT", "plain")  # "plain" | "repart" | "bucketed"
 IMG_BUCKETS = int(os.environ.get("BENCH_IMG_BUCKETS", "1024"))
 
+# Crawl-table scratch goes to tmpfs when available (BENCH_TMP overrides):
+# the metric is scheduling+fetch capacity, and on a real cluster the
+# equivalent bytes land on executor-local NVMe / distributed storage. This
+# sandbox's virtual disk sustains ~10 MB/s with multi-second stall bursts
+# (round-5 measurement) — leaving scratch there would benchmark the
+# sandbox's disk, not the engine. tmpfs is the single-box stand-in for
+# healthy node-local storage; same code path, different backing medium.
+_BENCH_TMP = os.environ.get("BENCH_TMP") or (
+    "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+)
+
 # Scaling-evidence configuration (--scaling): the N→4N criterion needs a
 # CPU-dominated job — on a single box the shared disk caps payload-write IO
 # identically at any core count, so the scaling run uses full-size payload
@@ -149,7 +160,7 @@ def run_frontier(spark) -> dict:
             read_bucketed_images, write_bucketed_images,
         )
 
-        img_dir = tempfile.mkdtemp(prefix="fcs-bench-imglayout-")
+        img_dir = tempfile.mkdtemp(prefix="fcs-bench-imglayout-", dir=_BENCH_TMP)
         write_bucketed_images(images, img_dir, IMG_BUCKETS)  # pre-clock
         images = read_bucketed_images(spark, img_dir)
     hosts = syn.gen_hosts(spark, FRONTIER_HOSTS, token_rate=TOKEN_RATE)
@@ -160,7 +171,7 @@ def run_frontier(spark) -> dict:
         n_hosts=FRONTIER_HOSTS,
         hot_share_pct=HOT_SHARE_PCT,
     )
-    wd = tempfile.mkdtemp(prefix="fcs-bench-frontier-")
+    wd = tempfile.mkdtemp(prefix="fcs-bench-frontier-", dir=_BENCH_TMP)
     try:
         eng = CrawlEngine(
             spark, wd, images, hosts, error_permille=0, bloom_bits=1 << 23,

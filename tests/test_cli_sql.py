@@ -21,20 +21,24 @@ def test_sql_surface_over_testdata(spark, sf_dir):
 
 def test_cli_run_and_resume(tmp_path):
     wd = str(tmp_path / "crawl")
+    # sized for ~4 rounds: multi-round politeness + discovery + resume are
+    # all exercised; the old 10-round fixture (token-rate 60) blew its
+    # timeout under this sandbox's host-starvation stalls (round-5 note in
+    # conftest) without testing anything extra
     cmd = [
         sys.executable, "-m", "facebook_crawler_spark.run_crawl",
-        "--workdir", wd, "--urls", "800", "--images", "400", "--hosts", "8",
-        "--token-rate", "60", "--dim-span", "9", "--discovery",
+        "--workdir", wd, "--urls", "600", "--images", "300", "--hosts", "8",
+        "--token-rate", "200", "--dim-span", "9", "--discovery",
     ]
     import os
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["fetched"] > 0 and stats["rounds"] >= 1
     # second invocation resumes (frontier exists) and immediately drains
-    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "resuming from round" in out2.stderr
     stats2 = json.loads(out2.stdout.strip().splitlines()[-1])
