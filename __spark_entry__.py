@@ -246,12 +246,15 @@ def q_exact_dedup_docs(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    """Pipeline: MinHash+LSH candidate pairs (md5 hash family, 16 hashes,
-    4 bands — deterministic, so even the LSH output is oracle-checkable)."""
+    """Pipeline: MinHash+LSH candidate pairs (md5u universal-permutation
+    family — ONE md5 per shingle expanded to 16 seeds, long signatures,
+    fully deterministic so even the LSH output is oracle-checkable)."""
     from facebook_crawler_spark.operators.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_candidates(d, "doc_id", "text", n_hashes=16, bands=4)
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", n_hashes=16, bands=4, hash_family="md5u"
+    )
 
 
 def q_ngram_jaccard_pairs(spark, sf):
@@ -259,7 +262,9 @@ def q_ngram_jaccard_pairs(spark, sf):
     from facebook_crawler_spark.operators.dedup import minhash_lsh_candidates, verify_near_dups
 
     d = _t(spark, sf, "documents")
-    cands = minhash_lsh_candidates(d, "doc_id", "text", n_hashes=16, bands=4)
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", n_hashes=16, bands=4, hash_family="md5u"
+    )
     return verify_near_dups(cands, d, "doc_id", "text", threshold=0.5)
 
 
@@ -982,6 +987,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
 
+from facebook_crawler_spark.operators.dedup import _MH_A, _MH_B, _MH_P
+
+# the md5u signature as 16 literal-constant DuckDB expressions (one per seed)
+_MH_H = "(('0x' || substr(md5(x), 1, 12))::BIGINT % {p})".format(p=_MH_P)
+_MH_SIG = "[" + ", ".join(
+    f"coalesce(list_min(list_transform(s, x -> ({_MH_A[k]} * {_MH_H} + {_MH_B[k]}) % {_MH_P})), {_MH_P + k})"
+    for k in range(16)
+) + "]"
+
 _SHINGLE_CTE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
@@ -993,10 +1007,11 @@ WITH toks AS (
               ELSE [] END AS s
   FROM toks
 ), sig AS (
-  SELECT doc_id,
-         list_transform(range(0, 16),
-                        k -> coalesce(list_min(list_transform(s, x -> md5(x || '#' || k))),
-                                      'EMPTY#' || k)) AS sig
+  -- md5u family (operators/dedup.py:_hash_fn): per-seed universal
+  -- permutations g_k = (a_k * (h mod p) + b_k) mod p over the 48-bit base
+  -- h = int(md5(x)[:12], 16); (a_k, b_k, p) are the engine's literals
+  -- (_MH_A/_MH_B/_MH_P), products < p^2 < 2^63 — exact BIGINT
+  SELECT doc_id, {_MH_SIG} AS sig
   FROM sh
 ), bands AS (
   SELECT doc_id,

@@ -20,6 +20,8 @@ when oracle parity is not needed — the production setting.
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,13 +79,47 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# md5u family constants: p prime, (a, b) per seed from a fixed-seed PRNG —
+# literal here AND in the generated DuckDB oracle SQL (__spark_entry__), so
+# both engines evaluate the identical closed form.
+_MH_P = 1_000_000_007
+_rng = _random.Random(0x5EED_FACE)
+_MH_A = [_rng.randrange(1, _MH_P) for _ in range(64)]
+_MH_B = [_rng.randrange(0, _MH_P) for _ in range(64)]
+del _rng
+
+
 def _hash_fn(s: Column, seed: int, family: str = "md5") -> Column:
-    """Seeded string hash. "md5" is ANSI-SQL-expressible (the DuckDB-oracle
-    family the gates pin); "xxh" is JVM xxhash64 — codegen'd, and its
-    signatures shuffle as 8-byte longs instead of 32-char strings (the
-    production family; ~2x cheaper per hash, ~4x smaller shuffle rows)."""
+    """Seeded string hash family.
+
+    - "md5":   md5(s || '#seed') as a hex STRING, lexicographic min — the
+               simplest SQL-replayable form, but it pays seed-many md5
+               evaluations per shingle and shuffles 32-char strings.
+    - "md5u":  per-seed universal-hash permutations over ONE md5: base
+               h = int(md5(s)[:12], 16) (48 bits; Catalyst's subexpression
+               elimination collapses the repeated md5(s) to one call), then
+               g_seed = (a_seed·(h mod p) + b_seed) mod p with p = 10^9+7
+               and fixed per-seed constants (_MH_A/_MH_B, seeded PRNG).
+               (a·x+b) mod p is pairwise-independent over distinct shingle
+               hashes, so each seed draws an effectively independent
+               permutation — unlike naive Kirsch-Mitzenmacher double
+               hashing h1+k·h2, whose per-seed argmins collapse onto
+               argmin(h2) as k grows (measured: 13,820 candidate pairs at
+               sf0.1 vs ~256 under independent families). Products stay
+               < p² < 2^63: exact int64 on both engines, and exactly
+               replayable in DuckDB via ('0x'||substr(md5(x),1,12))::BIGINT
+               — the oracle-checkable production family.
+    - "xxh":   JVM xxhash64 — cheapest, but not expressible in ANSI SQL
+               (rows-only checkable).
+    """
     if family == "xxh":
         return F.xxhash64(s, F.lit(seed))
+    if family == "md5u":
+        h = F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        return F.pmod(
+            F.lit(_MH_A[seed]) * F.pmod(h, F.lit(_MH_P)) + F.lit(_MH_B[seed]),
+            F.lit(_MH_P),
+        )
     return F.md5(F.concat(s, F.lit(f"#{seed}")))
 
 
@@ -136,17 +172,18 @@ def minhash_lsh_candidates(
     skew (a degenerate bucket holding half the table) is the risk at scale;
     callers cap bucket width via `max_bucket` in `_pairs_within_buckets`.
 
-    `hash_family`: **"xxh" is the production recommendation at scale** —
-    it runs the identical plan on JVM xxhash64, with long signatures
-    instead of 32-char strings, so both the 16 per-shingle hashes and the
-    shuffled signature rows are ~4x cheaper; measured 6.80 s (md5) vs
-    4.83 s (xxh) warm at sf0.1 local[32] with identical candidate pairs on
-    that corpus (PLANS.md round 4). "md5" stays the DEFAULT only because
-    it keeps every hash replayable in ANSI SQL for the DuckDB correctness
-    oracle — a cross-engine-checkability constraint, not a performance
-    choice. Identical-content duplicates land in the same buckets under
-    either family; near-dup candidate sets may differ at the margin since
-    the two families draw different random permutations.
+    `hash_family`: **"md5u" is the oracle-checkable production family**
+    — one md5 per shingle expanded to all n_hashes seeds by per-seed
+    universal permutations (see `_hash_fn`), long signatures, exactly
+    replayable in DuckDB
+    SQL (the registered gate runs it). "xxh" (JVM xxhash64) is cheapest
+    of all but only rows-only checkable; "md5" (seed-many md5s, string
+    minima) is the legacy simplest-SQL form and remains the default for
+    back-compatibility. Measured warm at sf0.1 local[32] (PLANS.md rounds
+    4-5): md5 6.80 s, xxh 4.83 s, md5u between — identical plan shape in
+    every family. Identical-content duplicates land in the same buckets
+    under any family; near-dup candidate sets may differ at the margin
+    since the families draw different random permutations.
     """
     rows_per_band = n_hashes // bands
     # Aggregation-shaped minhash (the scale shape): explode shingles, hash
@@ -169,6 +206,10 @@ def minhash_lsh_candidates(
     def _empty(i: int) -> Column:
         if hash_family == "xxh":
             return F.lit((1 << 63) - 1 - i)
+        if hash_family == "md5u":
+            # above any reachable g_k (< p), distinct per seed, and the
+            # same literal the DuckDB oracle coalesces to
+            return F.lit(_MH_P + i)
         return F.lit(f"EMPTY#{i}")
 
     sig = hashed.groupBy("id").agg(

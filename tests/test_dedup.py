@@ -103,3 +103,36 @@ def test_minhash_xxh_family_finds_exact_dups(spark):
     # (identical sentinel signatures, same as the md5 family) but must
     # never pair with a content doc
     assert not any((a > 99) != (b > 99) for a, b in xxh_pairs)
+    # md5u (universal-permutation production family, the gate family):
+    # same invariants, plus exact parity with its closed-form definition
+    md5u_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(
+            docs, "doc_id", "text", hash_family="md5u"
+        ).collect()
+    }
+    assert exact_dups <= md5u_pairs
+    assert not any((a > 99) != (b > 99) for a, b in md5u_pairs)
+
+
+def test_md5u_hash_matches_closed_form(spark):
+    """g_k = (a_k·(int(md5(s)[:12],16) mod p) + b_k) mod p — the exact
+    formula the generated DuckDB oracle replays
+    (('0x'||substr(md5(x),1,12))::BIGINT and the same (a,b,p) literals)."""
+    import hashlib
+
+    from facebook_crawler_spark.operators.dedup import _MH_A, _MH_B, _MH_P, _hash_fn
+
+    vals = ["quick brown fox", "a", "ümlaut straße", ""]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r.s: [r[f"h{k}"] for k in range(3)]
+        for r in df.select(
+            "s", *[_hash_fn(F.col("s"), k, "md5u").alias(f"h{k}") for k in range(3)]
+        ).collect()
+    }
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+        assert got[v] == [
+            (_MH_A[k] * (h % _MH_P) + _MH_B[k]) % _MH_P for k in range(3)
+        ], v
