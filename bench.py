@@ -214,11 +214,27 @@ def run_frontier(spark) -> dict:
             shutil.rmtree(img_dir, ignore_errors=True)
 
 
+def cpu_probe() -> float:
+    """Fixed single-thread pure-Python workload, no Spark/IO: a box-weather
+    calibration published with every bench JSON so cross-round wall-time
+    comparisons can be deweathered. Clean reference on this hardware class
+    ≈ 0.65 s; neighbor-noise windows have measured 0.9-2.0+ s (round-3
+    isolation A/B and the round-5 sandbox degradation, PLANS.md/SURVEY.md
+    — same code, 2.3x wall-time swing between rounds' windows)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> dict:
+    probe0 = cpu_probe()
     spark = _spark()
-    print(f"bench: sf_dir={SF_DIR} cpus={CPUS}", file=sys.stderr)
+    print(f"bench: sf_dir={SF_DIR} cpus={CPUS} probe={probe0}s", file=sys.stderr)
     queries = run_queries(spark)
     frontier = run_frontier(spark)
+    probe1 = cpu_probe()
     total = round(sum(queries.values()) + frontier["crawl_sec"], 3)
     result = {
         "metric": "headline queries + synthetic-frontier crawl wall time",
@@ -228,6 +244,7 @@ def main() -> dict:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "frontier": frontier,
+        "cpu_probe_sec": [probe0, probe1],
     }
     return result
 
