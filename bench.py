@@ -92,6 +92,14 @@ SCALING_ENV = {
     "SPARK_GRAFT_DRIVER_MEM": "24g",
 }
 
+# In-band pair-uniformity gate (see pair() docstring): the seed phase is
+# the identical frontier-generation job embedded in both legs of a pair,
+# so cross-leg seed time can differ by parallelism alone only a few x
+# (measured clean legs: 3.5-5.6 s at local[8]); the two probe-rejected
+# round-5 pairs read 34x and 71x — a host-starvation burst inside one
+# leg. 8x separates the regimes with margin on both sides.
+SEED_UNIFORM_MAX = float(os.environ.get("BENCH_SEED_UNIFORM_MAX", "8.0"))
+
 BENCH_QUERIES = [
     "delta_anti_join",
     "dedup_last_wins",
@@ -256,7 +264,16 @@ def pair() -> None:
     the ratio needs; JIT/page-cache order effects cancel by alternating the
     pair order across invocations (the parent does that). BENCH_MASTER is
     deliberately NOT honored here: a pair exists to compare two local[N]
-    levels, and a single master override cannot apply to both."""
+    levels, and a single master override cannot apply to both.
+
+    In-band uniformity gate: the seed phase (frontier generation + write)
+    is the same job in both legs, so its wall time is a matched workload
+    embedded in each leg. Parallelism alone moves it a few x at most;
+    both probe-rejected round-5 pairs showed 34-71x cross-leg asymmetry
+    (a host-starvation burst inside one leg that the bracketing point
+    probes missed). A pair whose seed times disagree by more than
+    SEED_UNIFORM_MAX did not share a noise window and is flagged
+    seed_uniform=false — consumers must exclude it in BOTH directions."""
     from facebook_crawler_spark.session import get_spark
 
     global CPUS
@@ -269,7 +286,13 @@ def pair() -> None:
         )
         out[str(cpus)] = run_frontier(spark)
         spark.stop()
-    print(json.dumps({"pair": out}))
+    seeds = [leg["seed_sec"] for leg in out.values()]
+    ratio = round(max(seeds) / max(min(seeds), 1e-9), 2)
+    print(json.dumps({
+        "pair": out,
+        "seed_ratio": ratio,
+        "seed_uniform": ratio <= SEED_UNIFORM_MAX,
+    }))
 
 
 def scaling() -> None:
@@ -303,11 +326,14 @@ def scaling() -> None:
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         )
-        r = json.loads(out.stdout.strip().splitlines()[-1])["pair"]
+        full = json.loads(out.stdout.strip().splitlines()[-1])
+        r = full["pair"]
+        r["_seed_ratio"] = full.get("seed_ratio")
+        r["_seed_uniform"] = full.get("seed_uniform", True)
         print(f"pair {order}: " + ", ".join(
             f"local[{c}] {r[str(c)]['urls_per_sec']} urls/s ({r[str(c)]['crawl_sec']} s)"
             for c in order
-        ), file=sys.stderr)
+        ) + f" seed_ratio={r['_seed_ratio']}", file=sys.stderr)
         return r
 
     # MATCHED-PAIR design: this box's neighbor noise swings same-code runs
@@ -326,14 +352,30 @@ def scaling() -> None:
     results = {}  # best per level, for the absolute-throughput table
     pair_effs = []
     pair_runs = []
+    rejected = 0
     for order in ((2, 8), (8, 2), (2, 8)):
         pr = _run_pair(order)
+        if not pr.get("_seed_uniform", True):
+            # the legs did not share a noise window (burst inside one leg,
+            # detected in-band by the matched seed job) — exclude the pair
+            # in BOTH directions, like the recorded 2.04/1.54 rejections
+            print(
+                f"pair {order}: REJECTED, seed_ratio {pr['_seed_ratio']} > "
+                f"{SEED_UNIFORM_MAX} (window not shared)", file=sys.stderr,
+            )
+            rejected += 1
+            continue
         pair_runs.append(pr)
         for c in (2, 8):
             best = results.get(c)
             if best is None or pr[str(c)]["urls_per_sec"] > best["frontier"]["urls_per_sec"]:
                 results[c] = {"frontier": pr[str(c)]}
         pair_effs.append(round((pr["8"]["urls_per_sec"] / pr["2"]["urls_per_sec"]) / 4.0, 3))
+    if not pair_effs:
+        raise SystemExit(
+            f"all {rejected} pairs rejected by the seed-uniformity gate — "
+            "box weather too bursty for scaling evidence; rerun in a quieter window"
+        )
     for _ in range(2):
         r = _run_single(32)
         best = results.get(32)
@@ -386,7 +428,8 @@ def scaling() -> None:
             f"- **N→4N criterion (local[2]→local[8], ratio of per-level bests): "
             f"efficiency = {eff}** (target ≥ 0.8)\n"
             f"- matched-pair efficiencies in run order: {pair_effs} "
-            f"(median {eff_median}, best {eff_best})\n"
+            f"(median {eff_median}, best {eff_best}; "
+            f"{rejected} pair(s) rejected by the in-band seed-uniformity gate)\n"
             f"- one-box ceiling pair (local[8]→local[32], best-of-level): speedup "
             f"{round(t32 / t8, 2) if t8 else 'n/a'}x, efficiency = {eff_8_32} — see analysis\n"
             f"- per-phase seconds local[2]: {results[2]['frontier'].get('phase_sec')}\n"
