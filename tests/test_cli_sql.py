@@ -33,12 +33,16 @@ def test_cli_run_and_resume(tmp_path):
     import os
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    # timeout is a hang backstop, NOT a perf assertion: the fixture runs
+    # ~150 s in a clean window, but this sandbox's host-starvation bursts
+    # slow same-code runs 2.5-3x (idle-box CPU probe 1.4-1.7 s vs 0.6
+    # clean, round-5 weather note) — 600 s proved marginal and false-failed
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["fetched"] > 0 and stats["rounds"] >= 1
     # second invocation resumes (frontier exists) and immediately drains
-    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "resuming from round" in out2.stderr
     stats2 = json.loads(out2.stdout.strip().splitlines()[-1])

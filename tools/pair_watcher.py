@@ -1,0 +1,126 @@
+"""Probe-gated matched-pair watcher for the N→4N scaling evidence.
+
+Rounds 4-5 gathered their scaling pairs by hand-firing `bench.py`
+pair subprocesses whenever the box looked quiet; this round's weather
+(host-starvation bursts INSIDE a leg that bracketing point probes cannot
+see — see BENCH/BASELINE.md "Second final-tree pair") made that protocol
+both lossy and ad hoc. This tool makes it reproducible:
+
+  1. every `--interval` seconds, run the single-thread CPU probe;
+  2. when the probe reads clean (≤ --probe-max), fire ONE matched pair
+     (`BENCH_MODE=pair`, scaling fixture, order alternated across
+     attempts);
+  3. accept or reject the pair on bench.py's IN-BAND seed-uniformity
+     gate (`seed_uniform` in the pair JSON — the matched seed job
+     embedded in both legs, which catches mid-leg bursts the bracketing
+     probes miss), recording the bracketing probes alongside;
+  4. append one JSON line per attempt to --log (default
+     BENCH/pairs.jsonl), then stop after --max-accept accepted pairs or
+     --deadline-sec, whichever first.
+
+Consumers fold accepted pairs into BENCH/BASELINE.md's cumulative set by
+hand — this tool only gathers evidence; it never rewrites the analysis.
+
+Run:  python tools/pair_watcher.py --max-accept 2 --deadline-sec 7200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py: SCALING_ENV + probe)
+
+
+def run_pair(order: tuple[int, int]) -> dict:
+    env = dict(
+        os.environ,
+        BENCH_MODE="pair",
+        BENCH_PAIR=f"{order[0]},{order[1]}",
+        **bench.SCALING_ENV,
+    )
+    out = subprocess.run(
+        [sys.executable, bench.__file__],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        return {"error": (out.stderr or "")[-2000:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-accept", type=int, default=2)
+    ap.add_argument("--deadline-sec", type=float, default=7200)
+    ap.add_argument("--interval", type=float, default=60)
+    ap.add_argument(
+        "--probe-max", type=float, default=0.75,
+        help="fire a pair only when the single-thread probe reads ≤ this "
+        "(clean baseline 0.58-0.65 s this round; starved windows 0.9-1.8+)",
+    )
+    ap.add_argument("--log", default="BENCH/pairs.jsonl")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.dirname(args.log) or ".", exist_ok=True)
+    t_end = time.monotonic() + args.deadline_sec
+    accepted = 0
+    attempt = 0
+    orders = [(2, 8), (8, 2)]
+    while time.monotonic() < t_end and accepted < args.max_accept:
+        probe0 = bench.cpu_probe()
+        if probe0 > args.probe_max:
+            print(f"watch: probe {probe0}s > {args.probe_max} — waiting", file=sys.stderr)
+            time.sleep(args.interval)
+            continue
+        order = orders[attempt % 2]
+        attempt += 1
+        print(f"watch: probe {probe0}s clean — firing pair {order}", file=sys.stderr)
+        t0 = time.monotonic()
+        res = run_pair(order)
+        probe1 = bench.cpu_probe()
+        rec = {
+            "attempt": attempt,
+            "order": list(order),
+            "probe_before": probe0,
+            "probe_after": probe1,
+            "wall_sec": round(time.monotonic() - t0, 1),
+        }
+        if "error" in res:
+            rec["accepted"] = False
+            rec["error"] = res["error"]
+        else:
+            legs = res["pair"]
+            rec["seed_ratio"] = res.get("seed_ratio")
+            rec["seed_uniform"] = res.get("seed_uniform", True)
+            rec["legs"] = {
+                k: {
+                    "crawl_sec": v["crawl_sec"],
+                    "urls_per_sec": v["urls_per_sec"],
+                    "seed_sec": v["seed_sec"],
+                }
+                for k, v in legs.items()
+            }
+            rec["pair_efficiency"] = round(
+                (legs["8"]["urls_per_sec"] / legs["2"]["urls_per_sec"]) / 4.0, 3
+            )
+            rec["accepted"] = bool(rec["seed_uniform"])
+        with open(args.log, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(f"watch: attempt {attempt}: {json.dumps(rec)}", file=sys.stderr)
+        if rec["accepted"]:
+            accepted += 1
+    print(
+        f"watch: done — {accepted} accepted / {attempt} attempted", file=sys.stderr
+    )
+
+
+if __name__ == "__main__":
+    main()
