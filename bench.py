@@ -284,7 +284,17 @@ def pair() -> None:
     mode but was blind to the second; the directed band rejects BOTH, and
     symmetrically — it excludes flattering and unflattering weather alike.
     A pair outside the band is flagged seed_uniform=false — consumers must
-    exclude it in BOTH directions."""
+    exclude it in BOTH directions.
+
+    Physical-possibility gate: the seed phase is short (~3-30 s) relative
+    to the crawl phase (~90-460 s), so a burst can land entirely inside
+    the low leg's crawl while the seed samples clean — one watcher pair
+    read raw efficiency 1.056 with seed_ratio 4.02 (in-band). True N→4N
+    efficiency cannot exceed 1.0 (4x cores cannot give more than 4x
+    throughput), so efficiency > 1 is itself in-band proof the low leg ate
+    bursts; such pairs are flagged efficiency_possible=false. `pair_valid`
+    = seed_uniform AND efficiency_possible is the single acceptance bit
+    consumers should use."""
     from facebook_crawler_spark.session import get_spark
 
     global CPUS
@@ -302,10 +312,19 @@ def pair() -> None:
     ratio = round(
         out[str(lo)]["seed_sec"] / max(out[str(hi)]["seed_sec"], 1e-9), 2
     )
+    eff = round(
+        (out[str(hi)]["urls_per_sec"] / max(out[str(lo)]["urls_per_sec"], 1e-9))
+        / (hi / lo), 3
+    )
+    seed_uniform = SEED_UNIFORM_MIN <= ratio <= SEED_UNIFORM_MAX
+    possible = eff <= 1.0
     print(json.dumps({
         "pair": out,
         "seed_ratio": ratio,
-        "seed_uniform": SEED_UNIFORM_MIN <= ratio <= SEED_UNIFORM_MAX,
+        "seed_uniform": seed_uniform,
+        "pair_efficiency": eff,
+        "efficiency_possible": possible,
+        "pair_valid": seed_uniform and possible,
     }))
 
 

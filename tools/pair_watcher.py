@@ -108,10 +108,16 @@ def main() -> None:
                 }
                 for k, v in legs.items()
             }
-            rec["pair_efficiency"] = round(
+            rec["pair_efficiency"] = res.get("pair_efficiency", round(
                 (legs["8"]["urls_per_sec"] / legs["2"]["urls_per_sec"]) / 4.0, 3
+            ))
+            # pair_valid (bench.py): seed-uniform AND physically possible
+            # (efficiency ≤ 1.0 — a >1 reading proves bursts hit the low
+            # leg's crawl phase even when the short seed phase read clean).
+            rec["accepted"] = bool(
+                res.get("pair_valid", rec["seed_uniform"])
+                and rec["pair_efficiency"] <= 1.0
             )
-            rec["accepted"] = bool(rec["seed_uniform"])
         with open(args.log, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(f"watch: attempt {attempt}: {json.dumps(rec)}", file=sys.stderr)
