@@ -103,6 +103,35 @@ SCALING_ENV = {
 SEED_UNIFORM_MIN = float(os.environ.get("BENCH_SEED_UNIFORM_MIN", "0.9"))
 SEED_UNIFORM_MAX = float(os.environ.get("BENCH_SEED_UNIFORM_MAX", "8.0"))
 
+# Round-dispersion gate (see pair() docstring): the deterministic crawl
+# makes every steady-state round a matched workload between a pair's two
+# legs, so the per-round lo/hi time ratios should be flat; max/min across
+# them past this bound means a burst landed inside one leg's crawl phase.
+# Clean matched rounds spread ~1.2-1.8x from per-round noise alone (the
+# high leg's rounds are short, so relative jitter is larger there);
+# starvation bursts on this box are order-of-magnitude (34-71x on the
+# seed job, 0.5 s → 40 s on identical commits).
+ROUND_UNIFORM_MAX = float(os.environ.get("BENCH_ROUND_UNIFORM_MAX", "3.0"))
+
+
+def round_dispersion(
+    lo_rounds: list[float], hi_rounds: list[float]
+) -> tuple[float | None, bool]:
+    """max/min of the matched per-round time ratios over steady rounds
+    (round 1 dropped — one-time costs). Returns (dispersion, within-gate);
+    (None, True) when fewer than two steady matched rounds exist — the
+    gate is then trivially uninformative, not failed."""
+    n = min(len(lo_rounds), len(hi_rounds))
+    ratios = [
+        lo_rounds[i] / max(hi_rounds[i], 1e-9)
+        for i in range(1, n)
+        if lo_rounds[i] > 0 and hi_rounds[i] > 0
+    ]
+    if len(ratios) < 2:
+        return None, True
+    disp = round(max(ratios) / min(ratios), 2)
+    return disp, disp <= ROUND_UNIFORM_MAX
+
 BENCH_QUERIES = [
     "delta_anti_join",
     "dedup_last_wins",
@@ -218,6 +247,13 @@ def run_frontier(spark) -> dict:
             "fetched": total_fetch,
             "urls_per_sec": round(total_sched / dt, 1) if dt > 0 else 0.0,
             "phase_sec": phases,
+            # per-round wall (sum of phase timings) — the crawl is
+            # deterministic, so in a scaling pair these are MATCHED
+            # workloads round-by-round between the two legs (see pair()'s
+            # round-dispersion gate)
+            "round_sec": [
+                round(sum(s.get("timings", {}).values()), 3) for s in stats
+            ],
         }
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -292,9 +328,27 @@ def pair() -> None:
     read raw efficiency 1.056 with seed_ratio 4.02 (in-band). True N→4N
     efficiency cannot exceed 1.0 (4x cores cannot give more than 4x
     throughput), so efficiency > 1 is itself in-band proof the low leg ate
-    bursts; such pairs are flagged efficiency_possible=false. `pair_valid`
-    = seed_uniform AND efficiency_possible is the single acceptance bit
-    consumers should use."""
+    bursts; such pairs are flagged efficiency_possible=false.
+
+    Round-dispersion gate (closes the residual blind spot the two gates
+    above share — a burst inside the long crawl phase that neither the
+    short seed phase sampled nor pushed efficiency past 1.0): the crawl is
+    deterministic, so round i of the low leg and round i of the high leg
+    execute the SAME schedule — every steady-state round is a matched
+    workload embedded in both legs, like the seed but covering the whole
+    crawl. The per-round ratio vector r_i = t_lo,i / t_hi,i should be flat
+    (each r_i estimates the same true speedup); a burst confined to one
+    leg's round i makes r_i an outlier in whichever direction the burst
+    fell. Gate: max(r)/min(r) over steady rounds (round 1 excluded — it
+    carries one-time costs: python-worker cold spawn, JIT, first-scan page
+    faults — whose lo/hi ratio legitimately differs from steady state)
+    must be ≤ ROUND_UNIFORM_MAX. Symmetric like the seed gate: it rejects
+    bursts in either leg, flattering and unflattering alike. Fewer than
+    two steady rounds (can't happen on the scaling fixture, which runs
+    4+) → gate passes trivially and round_disp is null.
+
+    `pair_valid` = seed_uniform AND efficiency_possible AND rounds_uniform
+    is the single acceptance bit consumers should use."""
     from facebook_crawler_spark.session import get_spark
 
     global CPUS
@@ -318,13 +372,18 @@ def pair() -> None:
     )
     seed_uniform = SEED_UNIFORM_MIN <= ratio <= SEED_UNIFORM_MAX
     possible = eff <= 1.0
+    round_disp, rounds_uniform = round_dispersion(
+        out[str(lo)].get("round_sec", []), out[str(hi)].get("round_sec", [])
+    )
     print(json.dumps({
         "pair": out,
         "seed_ratio": ratio,
         "seed_uniform": seed_uniform,
         "pair_efficiency": eff,
         "efficiency_possible": possible,
-        "pair_valid": seed_uniform and possible,
+        "round_disp": round_disp,
+        "rounds_uniform": rounds_uniform,
+        "pair_valid": seed_uniform and possible and rounds_uniform,
     }))
 
 

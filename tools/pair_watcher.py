@@ -100,6 +100,11 @@ def main() -> None:
             legs = res["pair"]
             rec["seed_ratio"] = res.get("seed_ratio")
             rec["seed_uniform"] = res.get("seed_uniform", True)
+            # round-dispersion gate (bench.py round-5: matched per-round
+            # ratios over the deterministic crawl — covers the whole crawl
+            # phase, closing the seed gate's short-sample blind spot)
+            rec["round_disp"] = res.get("round_disp")
+            rec["rounds_uniform"] = res.get("rounds_uniform", True)
             rec["legs"] = {
                 k: {
                     "crawl_sec": v["crawl_sec"],
