@@ -110,6 +110,9 @@ def main() -> None:
                     "crawl_sec": v["crawl_sec"],
                     "urls_per_sec": v["urls_per_sec"],
                     "seed_sec": v["seed_sec"],
+                    # kept verbatim so a pair's dispersion verdict can be
+                    # re-derived (and outlier rounds located) post-hoc
+                    "round_sec": v.get("round_sec"),
                 }
                 for k, v in legs.items()
             }
