@@ -113,6 +113,48 @@ SEED_UNIFORM_MAX = float(os.environ.get("BENCH_SEED_UNIFORM_MAX", "8.0"))
 # seed job, 0.5 s → 40 s on identical commits).
 ROUND_UNIFORM_MAX = float(os.environ.get("BENCH_ROUND_UNIFORM_MAX", "3.0"))
 
+# Steal-share gate (see pair() docstring): /proc/stat's `steal` field counts
+# ticks the hypervisor withheld the vCPU — the DIRECT kernel measurement of
+# the exact confounder every gate above infers indirectly (host-starvation
+# bursts; dmesg's `hrtimer: interrupt took ...` events are its signature).
+# Reading the counter costs nothing and perturbs nothing, and it covers a
+# leg's ENTIRE wall span — including the one shape the matched-workload
+# gates cannot see: the bulk scaling fixture drains its frontier in a
+# single round, so the round-dispersion gate has no round 2+ to compare and
+# returns null there (the pair() docstring previously claimed the fixture
+# runs 4+ rounds; that was wrong — bulk budgets exist precisely to
+# amortize per-round flat costs). Threshold: this box's lifetime average
+# steal is ~0.7%; a burst that can stretch identical commits 0.5 s → 40 s
+# inside a 150-400 s leg implies tens of seconds of withheld CPU, i.e.
+# ≥5-25% of the leg. 2% separates those populations with margin. A leg
+# where /proc/stat is unreadable reports null and passes trivially
+# (uninformative, not failed), like the dispersion gate.
+STEAL_MAX_PCT = float(os.environ.get("BENCH_STEAL_MAX_PCT", "2.0"))
+
+
+def cpu_stat() -> tuple[int, int] | None:
+    """(total_ticks, steal_ticks) from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), steal
+
+
+def steal_pct_between(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    """Percent of the interval's aggregate CPU ticks the hypervisor stole."""
+    if before is None or after is None:
+        return None
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return None
+    return round(100.0 * (after[1] - before[1]) / dt, 3)
+
 
 def round_dispersion(
     lo_rounds: list[float], hi_rounds: list[float]
@@ -277,6 +319,7 @@ def cpu_probe() -> float:
 
 def main() -> dict:
     probe0 = cpu_probe()
+    st0 = cpu_stat()
     spark = _spark()
     print(f"bench: sf_dir={SF_DIR} cpus={CPUS} probe={probe0}s", file=sys.stderr)
     queries = run_queries(spark)
@@ -292,6 +335,9 @@ def main() -> dict:
         "cpus": CPUS,
         "frontier": frontier,
         "cpu_probe_sec": [probe0, probe1],
+        # hypervisor steal share over the whole run (see STEAL_MAX_PCT):
+        # the weather context for cross-round wall-time comparisons
+        "steal_pct": steal_pct_between(st0, cpu_stat()),
     }
     return result
 
@@ -344,24 +390,42 @@ def pair() -> None:
     faults — whose lo/hi ratio legitimately differs from steady state)
     must be ≤ ROUND_UNIFORM_MAX. Symmetric like the seed gate: it rejects
     bursts in either leg, flattering and unflattering alike. Fewer than
-    two steady rounds (can't happen on the scaling fixture, which runs
-    4+) → gate passes trivially and round_disp is null.
+    two steady rounds → gate passes trivially and round_disp is null —
+    which is the ALWAYS case on the bulk scaling fixture: its budgets
+    drain the frontier in ONE round by design (amortizing per-round flat
+    costs), so this gate only bites on multi-round crawls (the default
+    bench fixture, the politeness fixture). An earlier revision claimed
+    the fixture runs 4+ rounds; the first watcher pair to publish
+    round_sec disproved that, which is why the steal gate below exists.
+
+    Steal-share gate (whole-leg, fixture-independent): /proc/stat steal
+    ticks are sampled at each leg's start and end — the kernel's direct
+    count of hypervisor-withheld CPU, zero-cost and zero-perturbation —
+    and each leg publishes its steal percentage. Any leg with steal >
+    STEAL_MAX_PCT means host starvation landed somewhere inside that
+    leg's wall span (seed, crawl, or the Spark session build between
+    them), regardless of whether the matched-workload gates sampled it.
+    Symmetric by construction; null (unreadable /proc/stat) passes
+    trivially like the dispersion gate.
 
     `pair_valid` = seed_uniform AND efficiency_possible AND rounds_uniform
-    is the single acceptance bit consumers should use."""
+    AND steal_ok is the single acceptance bit consumers should use."""
     from facebook_crawler_spark.session import get_spark
 
     global CPUS
     out = {}
+    steal = {}
     levels = [int(x) for x in os.environ["BENCH_PAIR"].split(",")]
     for cpus in levels:
         CPUS = cpus
+        st0 = cpu_stat()
         spark = get_spark(
             app_name=f"fcs-bench-pair-{cpus}", master=f"local[{cpus}]",
             shuffle_partitions=cpus,
         )
         out[str(cpus)] = run_frontier(spark)
         spark.stop()
+        steal[str(cpus)] = steal_pct_between(st0, cpu_stat())
     lo, hi = min(levels), max(levels)
     ratio = round(
         out[str(lo)]["seed_sec"] / max(out[str(hi)]["seed_sec"], 1e-9), 2
@@ -375,6 +439,8 @@ def pair() -> None:
     round_disp, rounds_uniform = round_dispersion(
         out[str(lo)].get("round_sec", []), out[str(hi)].get("round_sec", [])
     )
+    known_steals = [v for v in steal.values() if v is not None]
+    steal_ok = all(v <= STEAL_MAX_PCT for v in known_steals)
     print(json.dumps({
         "pair": out,
         "seed_ratio": ratio,
@@ -383,7 +449,9 @@ def pair() -> None:
         "efficiency_possible": possible,
         "round_disp": round_disp,
         "rounds_uniform": rounds_uniform,
-        "pair_valid": seed_uniform and possible and rounds_uniform,
+        "steal_pct": steal,
+        "steal_ok": steal_ok,
+        "pair_valid": seed_uniform and possible and rounds_uniform and steal_ok,
     }))
 
 

@@ -79,3 +79,33 @@ class TestSeedGateConstants:
         # work) and ≤8 (parallelism alone moves the seed a few x)
         assert bench.SEED_UNIFORM_MIN <= 1.0 <= bench.SEED_UNIFORM_MAX
         assert bench.SEED_UNIFORM_MAX <= 10.0
+
+class TestStealGate:
+    def test_steal_pct_between(self):
+        # 100 steal ticks out of a 10_000-tick interval = 1%
+        assert bench.steal_pct_between((1_000_000, 500), (1_010_000, 600)) == 1.0
+
+    def test_zero_steal(self):
+        assert bench.steal_pct_between((1_000_000, 500), (1_010_000, 500)) == 0.0
+
+    def test_unreadable_stat_is_uninformative(self):
+        # null (no /proc/stat) must pass trivially, like the dispersion
+        # gate — uninformative, not failed
+        assert bench.steal_pct_between(None, (1, 0)) is None
+        assert bench.steal_pct_between((1, 0), None) is None
+
+    def test_zero_interval_is_uninformative(self):
+        assert bench.steal_pct_between((1_000, 5), (1_000, 5)) is None
+
+    def test_live_counter_reads(self):
+        # the box this protocol runs on exposes the aggregate cpu line;
+        # two reads must be monotonic in total ticks
+        a = bench.cpu_stat()
+        assert a is not None and a[0] > 0 and a[1] >= 0
+        b = bench.cpu_stat()
+        assert b[0] >= a[0] and b[1] >= a[1]
+
+    def test_threshold_separates_documented_populations(self):
+        # lifetime average on this box ~0.7%; burst legs imply >=5%.
+        # The default threshold must sit between those populations.
+        assert 0.7 < bench.STEAL_MAX_PCT < 5.0

@@ -105,6 +105,11 @@ def main() -> None:
             # phase, closing the seed gate's short-sample blind spot)
             rec["round_disp"] = res.get("round_disp")
             rec["rounds_uniform"] = res.get("rounds_uniform", True)
+            # steal-share gate (bench.py round-5: /proc/stat steal per leg
+            # — whole-leg weather coverage, informative even on the
+            # one-round bulk fixture where the dispersion gate is null)
+            rec["steal_pct"] = res.get("steal_pct")
+            rec["steal_ok"] = res.get("steal_ok", True)
             rec["legs"] = {
                 k: {
                     "crawl_sec": v["crawl_sec"],
@@ -120,8 +125,9 @@ def main() -> None:
                 (legs["8"]["urls_per_sec"] / legs["2"]["urls_per_sec"]) / 4.0, 3
             ))
             # pair_valid (bench.py): seed-uniform AND physically possible
-            # (efficiency ≤ 1.0 — a >1 reading proves bursts hit the low
-            # leg's crawl phase even when the short seed phase read clean).
+            # (efficiency ≤ 1.0) AND round-dispersion-uniform AND
+            # steal-clean — the full in-band gate set; this tool just
+            # relays the subprocess's verdict.
             rec["accepted"] = bool(
                 res.get("pair_valid", rec["seed_uniform"])
                 and rec["pair_efficiency"] <= 1.0
