@@ -131,6 +131,20 @@ ROUND_UNIFORM_MAX = float(os.environ.get("BENCH_ROUND_UNIFORM_MAX", "3.0"))
 # (uninformative, not failed), like the dispersion gate.
 STEAL_MAX_PCT = float(os.environ.get("BENCH_STEAL_MAX_PCT", "2.0"))
 
+# Pair warmup leg (see pair() docstring): the 25-attempt pairs_r05.jsonl log
+# showed a level-INDEPENDENT additive first-leg cost of ~25 s (fastest
+# first-position local[8] leg 113.5 s vs 89.7 s second-position; fastest
+# first-position local[2] leg 344.5 s vs 318.2 s — +23.8 s and +26.3 s on
+# wildly different leg lengths). Mechanism: spark.stop() between legs keeps
+# the py4j JVM alive, so the SECOND leg always starts with paged-in jars and
+# JIT-compiled hot paths while the FIRST leg pays them. Order alternation
+# balances the two biased pair populations across sessions (medians 0.880
+# for (2,8) vs 0.554 for (8,2) orders) but does not unbias any individual
+# pair. The fix: a small throwaway crawl before the first measured leg pays
+# the one-time costs so BOTH legs start warm. 0 disables (pre-warmup
+# protocol, kept for A/B).
+PAIR_WARMUP_URLS = int(os.environ.get("BENCH_PAIR_WARMUP_URLS", "60000"))
+
 
 def cpu_stat() -> tuple[int, int] | None:
     """(total_ticks, steal_ticks) from the aggregate /proc/stat cpu line."""
@@ -346,10 +360,24 @@ def pair() -> None:
     """BENCH_PAIR="2,8": run both parallelism levels sequentially in ONE
     process (session stop + rebuild between them, same JVM), seconds apart
     — the two runs of a criterion pair share the box's noise window, which
-    the ratio needs; JIT/page-cache order effects cancel by alternating the
-    pair order across invocations (the parent does that). BENCH_MASTER is
-    deliberately NOT honored here: a pair exists to compare two local[N]
-    levels, and a single master override cannot apply to both.
+    the ratio needs. BENCH_MASTER is deliberately NOT honored here: a pair
+    exists to compare two local[N] levels, and a single master override
+    cannot apply to both.
+
+    Warmup leg (PAIR_WARMUP_URLS): an earlier revision claimed JIT/
+    page-cache order effects "cancel by alternating the pair order across
+    invocations"; the accumulated pair log disproved that — alternation
+    balances the two order-biased pair populations in aggregate, but every
+    individual pair still taxes its FIRST leg ~25 s of one-time JVM
+    warmup (additive, level-independent — see the PAIR_WARMUP_URLS comment
+    for the measurement), which deflates (hi,lo)-ordered pairs and
+    inflates (lo,hi)-ordered ones. A small throwaway crawl now runs before
+    the first measured leg so both legs start JIT/page-cache warm; the
+    pair JSON records it under "warmup" so protocol eras are
+    distinguishable in the log. The per-level minima headline was never
+    affected (both historical level bests are second-position legs, i.e.
+    already warm), but individual pair efficiencies from the warmup era
+    onward are unbiased rather than order-skewed.
 
     In-band uniformity gate, DIRECTED: the seed phase (frontier generation
     + write) is the same job in both legs, so its wall time is a matched
@@ -412,10 +440,34 @@ def pair() -> None:
     AND steal_ok is the single acceptance bit consumers should use."""
     from facebook_crawler_spark.session import get_spark
 
-    global CPUS
+    global CPUS, FRONTIER_URLS, FRONTIER_IMAGES
     out = {}
     steal = {}
     levels = [int(x) for x in os.environ["BENCH_PAIR"].split(",")]
+    warmup = None
+    if PAIR_WARMUP_URLS > 0:
+        # throwaway crawl at the pair's high level: pays the subprocess's
+        # one-time JVM costs (jar page-in, JIT of the schedule/fetch/verify
+        # hot paths) so neither MEASURED leg is the cold one. Results are
+        # discarded; only its wall time is recorded.
+        saved = (CPUS, FRONTIER_URLS, FRONTIER_IMAGES)
+        CPUS = max(levels)
+        FRONTIER_URLS = PAIR_WARMUP_URLS
+        FRONTIER_IMAGES = max(PAIR_WARMUP_URLS // 5, 1000)
+        t_w0 = time.perf_counter()
+        spark = get_spark(
+            app_name="fcs-bench-pair-warmup", master=f"local[{CPUS}]",
+            shuffle_partitions=CPUS,
+        )
+        try:
+            run_frontier(spark)
+        finally:
+            spark.stop()
+            CPUS, FRONTIER_URLS, FRONTIER_IMAGES = saved
+        warmup = {
+            "urls": PAIR_WARMUP_URLS,
+            "sec": round(time.perf_counter() - t_w0, 3),
+        }
     for cpus in levels:
         CPUS = cpus
         st0 = cpu_stat()
@@ -451,6 +503,7 @@ def pair() -> None:
         "rounds_uniform": rounds_uniform,
         "steal_pct": steal,
         "steal_ok": steal_ok,
+        "warmup": warmup,
         "pair_valid": seed_uniform and possible and rounds_uniform and steal_ok,
     }))
 

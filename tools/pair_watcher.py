@@ -110,6 +110,11 @@ def main() -> None:
             # one-round bulk fixture where the dispersion gate is null)
             rec["steal_pct"] = res.get("steal_pct")
             rec["steal_ok"] = res.get("steal_ok", True)
+            # warmup leg (bench.py round-5: throwaway crawl before the
+            # first measured leg, erasing the ~25 s additive first-leg
+            # JVM-warmup tax the pair log exposed) — recorded so warmup-era
+            # pairs are distinguishable from earlier protocol eras
+            rec["warmup"] = res.get("warmup")
             rec["legs"] = {
                 k: {
                     "crawl_sec": v["crawl_sec"],
