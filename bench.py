@@ -331,6 +331,34 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _probe_child(_):
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return s
+
+
+def cpu_probe_mt(n: int = 8) -> float:
+    """Parallel-capacity probe: the cpu_probe loop in n SIMULTANEOUS
+    processes; returns the slowest child's wall seconds. The single-thread
+    probe and /proc/stat steal both sample weather a ONE-core task sees;
+    the warmup-era pair log exposed a slow mode that hits only the 8-way
+    compute phase (8-legs bimodal ~105 s vs ~150 s with clean 1-thread
+    probes and <0.1% steal either way) — consistent with host-level
+    parallel-capacity capping (frequency/turbo states, co-tenant on SMT
+    siblings) that only a parallel probe can see. Clean reference: ≈ the
+    single-thread probe time (full n-way scaling, ~0.6-0.8 s); a capped
+    window reads 1.3-2x+ that. Published alongside cpu_probe in pair
+    records for post-hoc window classification; not a gate (no calibration
+    history yet)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(n) as pool:
+        pool.map(_probe_child, range(n))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> dict:
     probe0 = cpu_probe()
     st0 = cpu_stat()
@@ -468,9 +496,11 @@ def pair() -> None:
             "urls": PAIR_WARMUP_URLS,
             "sec": round(time.perf_counter() - t_w0, 3),
         }
+    probe_mt = {}
     for cpus in levels:
         CPUS = cpus
         st0 = cpu_stat()
+        mt0 = cpu_probe_mt()
         spark = get_spark(
             app_name=f"fcs-bench-pair-{cpus}", master=f"local[{cpus}]",
             shuffle_partitions=cpus,
@@ -478,6 +508,8 @@ def pair() -> None:
         out[str(cpus)] = run_frontier(spark)
         spark.stop()
         steal[str(cpus)] = steal_pct_between(st0, cpu_stat())
+        # parallel-capacity weather bracketing this leg (see cpu_probe_mt)
+        probe_mt[str(cpus)] = [mt0, cpu_probe_mt()]
     lo, hi = min(levels), max(levels)
     ratio = round(
         out[str(lo)]["seed_sec"] / max(out[str(hi)]["seed_sec"], 1e-9), 2
@@ -503,6 +535,7 @@ def pair() -> None:
         "rounds_uniform": rounds_uniform,
         "steal_pct": steal,
         "steal_ok": steal_ok,
+        "probe_mt": probe_mt,
         "warmup": warmup,
         "pair_valid": seed_uniform and possible and rounds_uniform and steal_ok,
     }))

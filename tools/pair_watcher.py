@@ -66,6 +66,15 @@ def main() -> None:
         help="fire a pair only when the single-thread probe reads ≤ this "
         "(clean baseline 0.58-0.65 s this round; starved windows 0.9-1.8+)",
     )
+    ap.add_argument(
+        "--probe-mt-max", type=float, default=0.85,
+        help="ALSO require the 8-process parallel probe (bench.cpu_probe_mt) "
+        "≤ this before firing: the warmup-era log exposed windows where "
+        "1-thread probes and steal read clean but parallel capacity is "
+        "capped 1.3-2x (8-legs ~150 s vs ~105 s), which only a parallel "
+        "probe sees (clean reference ~0.6-0.8 s). A firing condition — "
+        "window selection — not an acceptance gate.",
+    )
     ap.add_argument("--log", default="BENCH/pairs.jsonl")
     args = ap.parse_args()
 
@@ -80,6 +89,15 @@ def main() -> None:
             print(f"watch: probe {probe0}s > {args.probe_max} — waiting", file=sys.stderr)
             time.sleep(args.interval)
             continue
+        probe_mt0 = bench.cpu_probe_mt()
+        if probe_mt0 > args.probe_mt_max:
+            print(
+                f"watch: probe_mt {probe_mt0}s > {args.probe_mt_max} "
+                "(parallel capacity capped) — waiting",
+                file=sys.stderr,
+            )
+            time.sleep(args.interval)
+            continue
         order = orders[attempt % 2]
         attempt += 1
         print(f"watch: probe {probe0}s clean — firing pair {order}", file=sys.stderr)
@@ -91,6 +109,8 @@ def main() -> None:
             "order": list(order),
             "probe_before": probe0,
             "probe_after": probe1,
+            "probe_mt_before": probe_mt0,
+            "probe_mt_after": bench.cpu_probe_mt(),
             "wall_sec": round(time.monotonic() - t0, 1),
         }
         if "error" in res:
@@ -115,6 +135,10 @@ def main() -> None:
             # JVM-warmup tax the pair log exposed) — recorded so warmup-era
             # pairs are distinguishable from earlier protocol eras
             rec["warmup"] = res.get("warmup")
+            # per-leg parallel-capacity probes (bench.py cpu_probe_mt):
+            # the slow-8-leg mode shows clean 1-thread probes and <0.1%
+            # steal, so only a parallel probe can classify those windows
+            rec["probe_mt"] = res.get("probe_mt")
             rec["legs"] = {
                 k: {
                     "crawl_sec": v["crawl_sec"],
