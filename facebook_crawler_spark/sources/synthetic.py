@@ -58,7 +58,13 @@ def image_row(index: int, dim_span: int = 97) -> tuple[bytes, int, int, str, str
     h = 32 + (index * 3266489917) % dim_span
     fmt = "png" if (index * 668265263) % 10 < 7 else "jpeg"
     arr = img.pixels_for(index, w, h)
-    return img.encode(arr, fmt), w, h, fmt, caption_for(index), img.phash64(arr)
+    buf = img.encode(arr, fmt)
+    # Stamp the phash of the DECODED-AFTER-ENCODE pixels: the codec is
+    # deterministic, so the fetch verifier can demand an exact match
+    # (ham == 0) for every format — no calibrated lossy bound to falsify.
+    # png decodes bit-identically, so only the lossy path pays a decode.
+    ph = img.phash64(arr if fmt == "png" else img.decode(buf)[1])
+    return buf, w, h, fmt, caption_for(index), ph
 
 
 def gen_images(

@@ -94,12 +94,13 @@ def _verify_udf():
                 pixels_ok = (
                     np.array_equal(arr, ref) if fmt == "png" else img.psnr(ref, arr) >= 40.0
                 )
-                # phash: exact for lossless; lossy decode may flip borderline
-                # bits (hamming ≤ 2 bound for the q~85 codec, calibrated for
-                # the generator's ≥32px floor — property-tested; below 32px
-                # the 8x8 blocks approach single pixels and the bound breaks)
-                ham = bin(img.phash64(arr) ^ int(ph)).count("1")
-                phash_ok = ham == 0 if fmt == "png" else ham <= 2
+                # phash: EXACT for every format — the stored phash is
+                # stamped from the decoded-after-encode pixels
+                # (synthetic.image_row) and the codec is deterministic, so
+                # a byte-correct fetch matches bit-for-bit; the old
+                # calibrated lossy bound (ham ≤ 2) was falsified by the
+                # property suite at 32x33 jpeg (hamming 3)
+                phash_ok = img.phash64(arr) == int(ph)
                 out[i] = bool(pixels_ok and cap == caption_for(idx) and phash_ok)
             except Exception:
                 out[i] = False

@@ -19,16 +19,16 @@ def test_decode_features(images, spark):
     feats = mm.decode_features(images)
     rows = feats.collect()
     assert len(rows) == 100 and all(r.ok for r in rows)
-    # recomputed phash: exact for lossless, hamming ≤ 2 for lossy (borderline
-    # block means can flip a bit after quantization)
+    # recomputed phash: exact for EVERY format — the stored phash is
+    # stamped from the decoded-after-encode pixels (synthetic.image_row)
+    # and the codec is deterministic
     joined = feats.alias("f").join(images.alias("i"), "image_id").select(
         F.col("i.fmt").alias("fmt"),
         F.bit_count(F.col("f.phash").bitwiseXOR(F.col("i.phash"))).alias("ham"),
         F.col("f.w").alias("w1"), F.col("i.w").alias("w2"),
     )
     assert joined.filter("w1 != w2").count() == 0
-    assert joined.filter("fmt = 'png' and ham != 0").count() == 0
-    assert joined.filter("ham > 2").count() == 0
+    assert joined.filter("ham != 0").count() == 0
     # corrupt payload → ok=false, not a task failure
     bad = spark.createDataFrame([("bad", bytearray(b"\x00\x01"))], ["image_id", "bytes"])
     out = mm.decode_features(bad).collect()

@@ -107,10 +107,12 @@ def test_cuckoo_kernel_never_false_negative(seen, probes):
 @given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=32, max_value=160),
        st.integers(min_value=32, max_value=160))
 def test_codec_roundtrip_and_phash_properties(idx, w, h):
-    # dims ≥ 32: the generator's floor (synthetic.image_row). Below it the
-    # 8x8 phash blocks approach single pixels and quantization noise flips
-    # >2 bits — hypothesis found ham=4 at 5x5 — so the verifier's lossy
-    # bound (ham ≤ 2) is explicitly calibrated to the ≥32px contract.
+    # The old "lossy hamming ≤ 2" bound was FALSIFIED at 32x33 jpeg
+    # (hamming 3, within the ≥32px contract it claimed to cover). The fix
+    # is exactness, not recalibration: the generator stamps the phash of
+    # the decoded-after-encode pixels (synthetic.image_row), and the codec
+    # is deterministic, so the verifier's recomputed phash must match
+    # bit-for-bit for every format.
     from facebook_crawler_spark.functions import images as img
 
     arr = img.pixels_for(idx, w, h)
@@ -120,7 +122,11 @@ def test_codec_roundtrip_and_phash_properties(idx, w, h):
     # lossy roundtrip within the codec's error bound → PSNR ≥ 40
     fmt, decj = img.decode(img.encode(arr, "jpeg"))
     assert fmt == "jpeg" and img.psnr(arr, decj) >= 40.0
-    # phash: int64-safe, stable, and lossy hamming within the verifier bound
+    # phash: int64-safe and stable
     ph = img.phash64(arr)
     assert -(1 << 63) <= ph < (1 << 63) and ph == img.phash64(arr)
-    assert bin(ph ^ img.phash64(decj)).count("1") <= 2
+    # generation-stamp semantics: the stored phash (post-roundtrip pixels)
+    # equals the verifier's recomputation of the same decode, exactly —
+    # deterministic codec, no tolerance needed
+    assert img.phash64(decj) == img.phash64(img.decode(img.encode(arr, "jpeg"))[1])
+    assert img.phash64(dec) == ph
