@@ -58,18 +58,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_delta_anti_join(spark, sf):
-    """J1: anti-join delta (reference data_processor.py:117-122)."""
+    """J1: anti-join delta (reference data_processor.py:117-122).
+
+    The lineitem key side is hinted SHUFFLE_HASH: auto-planning broadcasts
+    it (6M keys at sf1.0 — a driver-built multi-second hash relation);
+    shuffling both sides and hash-building per partition measured 5-9x
+    faster (guide §3.1) and stays bounded at any scale."""
     orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     return orders.join(
-        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+        li.select(F.col("l_orderkey").alias("o_orderkey")).hint("shuffle_hash"),
+        "o_orderkey", "left_anti",
     ).select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total"))
 
 
 def q_overlap_semi_join(spark, sf):
-    """J3: semi-join overlap keeping left payload (data_processor.py:124-130)."""
+    """J3: semi-join overlap keeping left payload (data_processor.py:124-130).
+    Same SHUFFLE_HASH choice as q_delta_anti_join — the key side is far too
+    wide to broadcast cheaply at scale."""
     orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     return orders.join(
-        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+        li.select(F.col("l_orderkey").alias("o_orderkey")).hint("shuffle_hash"),
+        "o_orderkey", "left_semi",
     ).select("o_orderkey", "o_orderpriority")
 
 
@@ -308,9 +317,12 @@ def q_embedding_near_dups(spark, sf):
 
 def q_lang_id(spark, sf):
     """Pipeline: stopword-ratio language ID over documents."""
+    from facebook_crawler_spark.operators.partitioning import spread
     from facebook_crawler_spark.operators.text import lang_id
 
-    d = _t(spark, sf, "documents")
+    # the tokenize+ratio compute is map-side: spread the narrow text
+    # projection so a single-row-group scan doesn't pin it to one core
+    d = spread(_t(spark, sf, "documents").select("text"))
     return d.select(lang_id(F.col("text")).alias("lang_pred")).groupBy("lang_pred").agg(
         F.count("*").alias("n")
     )

@@ -26,25 +26,43 @@ MAGIC_JPG = b"FJPG"
 _HEADER = struct.Struct(">4sHH")  # magic, w, h
 
 
+def _grad_u16(w: int, h: int) -> np.ndarray:
+    """The deterministic gradient component of `pixels_for`, as uint16,
+    memoized per (w, h): it is index-independent, and the verify UDF calls
+    `pixels_for` once per fetched row — recomputing the same ≤81 gradient
+    planes hundreds of thousands of times per round was ~40% of its cost.
+    The cached array is only ever READ (the noise add allocates)."""
+    key = (w, h)
+    g = _GRAD_CACHE.get(key)
+    if g is None:
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        grad = np.empty((h, w, 3), dtype=np.uint8)
+        grad[..., 0] = ((x * 255) // max(w - 1, 1)).astype(np.uint8)[None, :]
+        grad[..., 1] = ((y * 255) // max(h - 1, 1)).astype(np.uint8)[:, None]
+        grad[..., 2] = ((x[None, :] + y[:, None]) % 256).astype(np.uint8)
+        g = grad.astype(np.uint16)
+        g.setflags(write=False)
+        if len(_GRAD_CACHE) < 4096:  # bound worker memory; 160x160x3x2B max
+            _GRAD_CACHE[key] = g
+    return g
+
+
+_GRAD_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def pixels_for(index: int, w: int, h: int) -> np.ndarray:
     """Deterministic RGB pixel array for synthetic image #index.
 
     Gradient + seeded noise; reproducible from the integer id alone so the
     fetch-verification oracle can recompute pixels without storing them.
+    The gradient half is (w, h)-only and served from `_grad_u16`'s memo;
+    arithmetic is unchanged, so pixels are bit-identical to the original
+    mgrid formulation.
     """
     rng = np.random.Generator(np.random.PCG64(0xFACE_B00C + index))
-    # 1-D gradients broadcast into place (bit-identical to the original
-    # mgrid formulation, but without two full-size int64 index arrays —
-    # this runs per fetched row in the verify UDF, so memory traffic here
-    # is what bounds multi-core scaling)
-    x = np.arange(w, dtype=np.int64)
-    y = np.arange(h, dtype=np.int64)
-    grad = np.empty((h, w, 3), dtype=np.uint8)
-    grad[..., 0] = ((x * 255) // max(w - 1, 1)).astype(np.uint8)[None, :]
-    grad[..., 1] = ((y * 255) // max(h - 1, 1)).astype(np.uint8)[:, None]
-    grad[..., 2] = ((x[None, :] + y[:, None]) % 256).astype(np.uint8)
     noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
-    return (grad.astype(np.uint16) + noise).clip(0, 255).astype(np.uint8)
+    return (_grad_u16(w, h) + noise).clip(0, 255).astype(np.uint8)
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
@@ -106,18 +124,30 @@ def phash64(arr: np.ndarray) -> int:
     share this function, so the hash stays self-consistent."""
     h, w = arr.shape[:2]
     s = arr.sum(axis=-1, dtype=np.int64)  # 3x the grayscale, exact
-    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
-    np.cumsum(s, axis=0, out=ii[1:, 1:])
-    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    # degenerate tiny images: every block at least 1px (same as the old
-    # max(ys[i+1], ys[i]+1) slice guard)
-    ye = np.maximum(ys[1:], ys[:-1] + 1)
-    xe = np.maximum(xs[1:], xs[:-1] + 1)
-    y0, x0 = ys[:-1], xs[:-1]
-    sums = ii[np.ix_(ye, xe)] - ii[np.ix_(y0, xe)] - ii[np.ix_(ye, x0)] + ii[np.ix_(y0, x0)]
-    counts = (ye - y0)[:, None] * (xe - x0)[None, :]
+    if h >= 8 and w >= 8:
+        # fast path (every generator image: dims ≥ 32): blocks are disjoint
+        # and contiguous, so two axis reduceats give the exact block sums
+        # with no integral-image allocation — same int64 arithmetic, same
+        # float division, bit-identical hash (property-swept vs the
+        # integral form); ~40% cheaper on the per-row verify path
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        sums = np.add.reduceat(np.add.reduceat(s, ys[:-1], axis=0), xs[:-1], axis=1)
+        counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    else:
+        # degenerate tiny images (< 8px a side): blocks may overlap under
+        # the ≥1px guard, which reduceat cannot express — keep the exact
+        # integral-image form
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(s, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        ye = np.maximum(ys[1:], ys[:-1] + 1)
+        xe = np.maximum(xs[1:], xs[:-1] + 1)
+        y0, x0 = ys[:-1], xs[:-1]
+        sums = ii[np.ix_(ye, xe)] - ii[np.ix_(y0, xe)] - ii[np.ix_(ye, x0)] + ii[np.ix_(y0, x0)]
+        counts = (ye - y0)[:, None] * (xe - x0)[None, :]
     blocks = sums / (3.0 * counts)
     bits = (blocks > blocks.mean()).flatten()
     val = int.from_bytes(np.packbits(bits).tobytes(), "big")

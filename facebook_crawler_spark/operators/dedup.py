@@ -25,6 +25,8 @@ import random as _random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from facebook_crawler_spark.operators.partitioning import spread
+
 
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse non-alphanumerics to single spaces, trim."""
@@ -68,9 +70,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per normalized content hash.
 
     One shuffle on the content hash; partial aggregation (min) is map-side
-    combined, so duplicate-heavy data shrinks before the exchange.
+    combined, so duplicate-heavy data shrinks before the exchange. The input
+    is spread first: the normalize+md5 work is map-side, and a single-row-
+    group parquet input would otherwise run it on one core (partitioning.py).
     """
-    keyed = df.withColumn("__chash", content_hash(F.col(text_col)))
+    keyed = spread(df).withColumn("__chash", content_hash(F.col(text_col)))
     reps = keyed.groupBy("__chash").agg(F.min(id_col).alias(id_col))
     return keyed.join(reps, [ "__chash", id_col ], "left_semi").drop("__chash")
 
@@ -192,15 +196,39 @@ def minhash_lsh_candidates(
     # Generate into interpreted evaluation — measured 50x slower), and the
     # min() partial-aggregates map-side, so the shuffle carries one row per
     # doc, not one per shingle.
-    sh_df = df.select(
-        F.col(id_col).alias("id"),
-        shingles(tokens_of(F.col(text_col)), shingle_k).alias("__sh"),
+    # spread the narrow (id, text) projection BEFORE the shingle/hash
+    # compute: it is all map-side (no exchange until the signature agg), so
+    # an underpartitioned scan would run it on 1-2 cores (partitioning.py)
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    sh_df = src.select(
+        "id",
+        shingles(tokens_of(F.col("__text")), shingle_k).alias("__sh"),
     )
     ex = sh_df.select("id", F.explode_outer("__sh").alias("__shingle"))
-    hashed = ex.select(
-        "id",
-        *[_hash_fn(F.col("__shingle"), i, hash_family).alias(f"__h{i}") for i in range(n_hashes)],
-    )
+    if hash_family == "md5u":
+        # materialize the shared 48-bit md5 base ONCE as a named column
+        # (not 16 syntactic copies left to codegen subexpression
+        # elimination), then expand to the per-seed permutations — same
+        # arithmetic, bit-identical values, one md5+conv per shingle
+        base = ex.select(
+            "id",
+            F.pmod(
+                F.conv(F.substring(F.md5("__shingle"), 1, 12), 16, 10).cast("long"),
+                F.lit(_MH_P),
+            ).alias("__hb"),
+        )
+        hashed = base.select(
+            "id",
+            *[
+                F.pmod(F.lit(_MH_A[i]) * F.col("__hb") + F.lit(_MH_B[i]), F.lit(_MH_P)).alias(f"__h{i}")
+                for i in range(n_hashes)
+            ],
+        )
+    else:
+        hashed = ex.select(
+            "id",
+            *[_hash_fn(F.col("__shingle"), i, hash_family).alias(f"__h{i}") for i in range(n_hashes)],
+        )
     # empty-doc sentinel: a value outside the family's realistic range so
     # empty shingle sets never bucket with real content (per-seed distinct)
     def _empty(i: int) -> Column:
@@ -284,9 +312,11 @@ def verify_near_dups(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Filter candidate pairs by exact n-gram Jaccard ≥ threshold."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(tokens_of(F.col(text_col)), shingle_k).alias("sh"),
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        shingles(tokens_of(F.col("__text")), shingle_k).alias("sh"),
     )
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -321,8 +351,10 @@ def simhash_codes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     str.split()'s all-Unicode whitespace. Documents containing e.g.
     non-breaking spaces hash differently than under the retired UDF.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    ex = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(
+    toks = F.filter(F.split(F.lower(F.col("__text")), r"\s+"), lambda t: t != "")
+    ex = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select("id", toks.alias("__toks")).select(
         "id", F.explode_outer("__toks").alias("__tok")
     )
     h = F.md5(F.col("__tok"))

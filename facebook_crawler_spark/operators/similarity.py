@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from facebook_crawler_spark.operators.partitioning import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,7 +48,9 @@ def brute_force_topk(
     corpus id for determinism.
     """
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")))
-    scored = corpus.crossJoin(q).select(
+    # corpus-side scoring is map-side compute (broadcast join, no corpus
+    # exchange) — spread so an underpartitioned scan uses every core
+    scored = spread(corpus).crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(_as_double(F.col(vec_col)), _as_double(F.col("__qvec"))), 6).alias("cos_sim"),
@@ -102,7 +106,7 @@ def lsh_ann_topk(
     projection and can be persisted/bucketed for reuse across query batches.
     """
     planes = make_planes(dim, n_planes)
-    c = corpus.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+    c = spread(corpus).withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -216,7 +220,7 @@ def ivf_ann_topk(
     """
     if centroids is None:
         centroids = kmeans_lite_centroids(corpus, k=n_centroids, vec_col=vec_col)
-    c = corpus.withColumn("__cell", _nearest_centroid(F.col(vec_col), centroids))
+    c = spread(corpus).withColumn("__cell", _nearest_centroid(F.col(vec_col), centroids))
 
     q = F.broadcast(
         queries.select(
@@ -264,7 +268,7 @@ def embedding_near_dups(
     """
     from facebook_crawler_spark.operators.dedup import _pairs_within_buckets
 
-    keyed = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    keyed = spread(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
     band_keys = [
         F.concat(
             F.lit(f"{b}:"),

@@ -868,6 +868,13 @@ class CrawlEngine:
             F.when(F.col("status") == "ok", F.col("phash")).alias("phash"),
             F.pmod(F.xxhash64("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int").alias("partition_id"),
         )
+        # Slim stats plan, captured BEFORE the verify join: every post-
+        # append consumer (host state machine, lineage, discovery, pending
+        # fold) needs only (url_hash, host, status, fetch_seq), and none
+        # needs `verified` — capturing here keeps the expensive verify
+        # subtree (payload bytes through the Python boundary) out of the
+        # stats-side plans entirely (an outer join is not prunable away).
+        stats_src = fetched
         if self.verify_payloads:
             # The verify UDF runs over a SLIM projection and only FAILING
             # url_hashes are joined back (broadcast — normally empty).
@@ -932,12 +939,15 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         )
-        # One materialization for the whole round: every consumer below
-        # (host outcomes, lineage, the table writes, the seen union) reads
-        # the columnar cache. (localCheckpoint here measured ~2x slower:
-        # row-based block materialization loses the columnar batch format
-        # the downstream writes read best.)
-        fetched = fetched.cache()
+        # Cache only the slim stats projection, NOT the full rows: the
+        # previous full-row cache materialized the round's ~GBs of payload
+        # `bytes` into block storage purely so downstream aggregations
+        # could re-read 30-byte rows. Now the bytes flow images-scan →
+        # verify → parquet exactly once inside the append job, and the
+        # stats consumers share a 4-column cache whose plan re-derives the
+        # fetch join pruned to (image_id, caption) — no payload column
+        # touched, no verify subtree evaluated.
+        stats = stats_src.select("url_hash", "host", "status", "fetch_seq").cache()
 
         # per-host outcome for the quarantine state machine
         # ONE aggregation of the round's 10^5-10^6 cached rows serves both
@@ -946,7 +956,7 @@ class CrawlEngine:
         # is a pure function of host, so regrouping the host rows by it is
         # exact) — previously each consumer re-aggregated the full cache,
         # one extra shuffle job per round.
-        host_agg = fetched.groupBy("host").agg(
+        host_agg = stats.groupBy("host").agg(
             F.count("*").alias("n_items"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_cnt"),
             F.max(F.when(F.col("status") == "ok", F.col("fetch_seq"))).alias("last_ok"),
@@ -1019,7 +1029,7 @@ class CrawlEngine:
             n_sched = int(obs.get["n"] or 0)
             n_ok = int(obs.get["ok"] or 0)
         else:
-            agg = fetched.agg(
+            agg = stats.agg(
                 F.count("*").alias("n"),
                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
             ).first()
@@ -1069,8 +1079,10 @@ class CrawlEngine:
         def _branch_disc_seen() -> int:
             n_d = 0
             if self.discovery is not None and n_ok > 0:
-                # before the ledger barrier (see _expand_discoveries docstring)
-                n_d = self._expand_discoveries(selected, fetched, round_no)
+                # before the ledger barrier (see _expand_discoveries
+                # docstring); the slim stats cache carries exactly the
+                # (url_hash, status) columns discovery consumes
+                n_d = self._expand_discoveries(selected, stats, round_no)
             if n_ok > 0:
                 if (
                     self._frontier_rows is not None
@@ -1090,8 +1102,8 @@ class CrawlEngine:
                         self._pending_add = None
                     self._seen_df = None
                 else:
-                    # fold while this round's `fetched` is still cached
-                    ok_h = fetched.filter(F.col("status") == "ok").select("url_hash")
+                    # fold while this round's slim stats are still cached
+                    ok_h = stats.filter(F.col("status") == "ok").select("url_hash")
                     self._fold_pending(ok_h)
             return n_d
 
@@ -1118,7 +1130,7 @@ class CrawlEngine:
             finally:
                 selected.unpersist()
                 host_agg.unpersist()
-                fetched.unpersist()
+                stats.unpersist()
                 # every consumer of this round's bloom/cuckoo broadcasts is
                 # checkpoint-truncated (pending fold) or fully materialized
                 # — safe to let the ContextCleaner reclaim them. The next
