@@ -154,6 +154,28 @@ def phash64(arr: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """`phash64` over a uniform-dims batch: (n, h, w, 3) uint8 → (n,) int64.
+
+    Same arithmetic as the scalar fast path (int64 block sums via two
+    reduceats, float block means, mean threshold, row-major packbits), just
+    with the batch axis in front — bit-identical per row (property-swept in
+    tests). Requires h, w ≥ 8 (every generator image; callers with smaller
+    images use the scalar form)."""
+    n, h, w = stack.shape[:3]
+    if h < 8 or w < 8:
+        raise ValueError("phash64_batch requires h, w >= 8")
+    s = stack.sum(axis=-1, dtype=np.int64)  # (n, h, w)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    sums = np.add.reduceat(np.add.reduceat(s, ys[:-1], axis=1), xs[:-1], axis=2)
+    counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    blocks = sums / (3.0 * counts)  # (n, 8, 8)
+    bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(n, 64), axis=1)  # (n, 8) big-endian
+    return packed.view(">u8")[:, 0].astype(np.int64, copy=False)
+
+
 def resize_block_mean(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Deterministic resize by block averaging (multimodal `resize` op)."""
     h, w = arr.shape[:2]

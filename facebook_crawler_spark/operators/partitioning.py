@@ -27,9 +27,18 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition `df` to `target` (default: defaultParallelism) iff its
     current plan yields fewer partitions than that — otherwise return it
     unchanged. Row-preserving and deterministic (round-robin repartition
-    sorts before redistributing), so results are identical either way."""
+    sorts before redistributing), so results are identical either way.
+
+    Exchange-bearing inputs are returned untouched: their parallelism is
+    already set by the shuffle (spark.sql.shuffle.partitions + AQE), and
+    probing them via `.rdd` would eagerly execute the adaptive plan's query
+    stages at plan-build time. The intended call site is a scan-side
+    projection, where `.rdd.getNumPartitions()` is a pure planning call."""
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -79,31 +79,88 @@ def _verify_udf():
 
     # no type annotations: `from __future__ import annotations` turns them
     # into strings pyspark can't resolve against local imports
+    def verify_row(i, iid, buf, cap, ph, out):
+        """Scalar verification of one row (the fallback path, and the
+        reference semantics the batch path must reproduce exactly)."""
+        try:
+            idx = int(iid.split("_")[1])
+            fmt, arr = img.decode(bytes(buf))
+            ref = img.pixels_for(idx, arr.shape[1], arr.shape[0])
+            pixels_ok = (
+                np.array_equal(arr, ref) if fmt == "png" else img.psnr(ref, arr) >= 40.0
+            )
+            # phash: EXACT for every format — the stored phash is stamped
+            # from the decoded-after-encode pixels (synthetic.image_row)
+            # and the codec is deterministic, so a byte-correct fetch
+            # matches bit-for-bit; the old calibrated lossy bound (ham ≤ 2)
+            # was falsified by the property suite at 32x33 jpeg (hamming 3)
+            phash_ok = img.phash64(arr) == int(ph)
+            out[i] = bool(pixels_ok and cap == caption_for(idx) and phash_ok)
+        except Exception:
+            out[i] = False
+
     def verify(image_id, data, caption, phash_str):
         # phash arrives as a STRING: a nullable int64 batch converts to
-        # float64 in pandas, silently corrupting 63-bit hash values
-        out = np.zeros(len(image_id), dtype=object)
-        for i, (iid, buf, cap, ph) in enumerate(zip(image_id, data, caption, phash_str)):
+        # float64 in pandas, silently corrupting 63-bit hash values.
+        #
+        # Vectorized verification (guide §4.2: hand whole batches to
+        # native code): rows are grouped by (fmt, w, h) parsed from the
+        # codec header, each uniform group is stacked into one (n, h, w, 3)
+        # array, and decode-compare + PSNR + phash run as single numpy
+        # expressions over the stack — identical arithmetic to the scalar
+        # path (int64 sums, same float divisions). Oracle pixels stay
+        # per-row (each image seeds its own PCG64 stream). Any malformed
+        # row (bad header, truncated payload, unparsable id) falls back to
+        # the scalar path, which also owns the per-row exception semantics.
+        import struct as _struct  # noqa: PLC0415
+
+        n = len(image_id)
+        out = np.zeros(n, dtype=object)
+        ids = list(image_id)
+        bufs = list(data)
+        caps = list(caption)
+        phs = list(phash_str)
+        groups = {}
+        for i in range(n):
+            buf, ph = bufs[i], phs[i]
             if buf is None or ph is None:
                 out[i] = None
                 continue
+            b = bytes(buf)
             try:
-                idx = int(iid.split("_")[1])
-                fmt, arr = img.decode(bytes(buf))
-                ref = img.pixels_for(idx, arr.shape[1], arr.shape[0])
-                pixels_ok = (
-                    np.array_equal(arr, ref) if fmt == "png" else img.psnr(ref, arr) >= 40.0
-                )
-                # phash: EXACT for every format — the stored phash is
-                # stamped from the decoded-after-encode pixels
-                # (synthetic.image_row) and the codec is deterministic, so
-                # a byte-correct fetch matches bit-for-bit; the old
-                # calibrated lossy bound (ham ≤ 2) was falsified by the
-                # property suite at 32x33 jpeg (hamming 3)
-                phash_ok = img.phash64(arr) == int(ph)
-                out[i] = bool(pixels_ok and cap == caption_for(idx) and phash_ok)
+                magic, w, h = _struct.unpack_from(">4sHH", b)
+                idx = int(ids[i].split("_")[1])
+                fmt = {b"FPNG": "png", b"FJPG": "jpeg"}[magic]
+                if len(b) != 8 + w * h * 3 or h < 8 or w < 8:
+                    raise ValueError
             except Exception:
-                out[i] = False
+                verify_row(i, ids[i], b, caps[i], phs[i], out)
+                continue
+            groups.setdefault((fmt, w, h), []).append((i, idx, b))
+        for (fmt, w, h), rows in groups.items():
+            try:
+                stack = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8, offset=8).reshape(h, w, 3) for _, _, b in rows]
+                )
+                refs = np.stack([img.pixels_for(idx, w, h) for _, idx, _ in rows])
+                if fmt == "png":
+                    pixels_ok = (stack == refs).reshape(len(rows), -1).all(axis=1)
+                else:
+                    diff = stack.astype(np.int32) - refs.astype(np.int32)
+                    mse = (diff * diff).mean(axis=(1, 2, 3))
+                    with np.errstate(divide="ignore"):
+                        psnr = 10.0 * np.log10(255.0**2 / mse)  # mse==0 → inf
+                    pixels_ok = psnr >= 40.0
+                phash_ok = img.phash64_batch(stack) == np.array(
+                    [int(phs[i]) for i, _, _ in rows], dtype=np.int64
+                )
+                for j, (i, idx, _) in enumerate(rows):
+                    out[i] = bool(
+                        pixels_ok[j] and phash_ok[j] and caps[i] == caption_for(idx)
+                    )
+            except Exception:
+                for i, _, b in rows:
+                    verify_row(i, ids[i], b, caps[i], phs[i], out)
         return pd.Series(out)
 
     return pandas_udf(verify, "boolean")

@@ -1,0 +1,147 @@
+"""Round-6 optimization internals: every transformation must be
+result-identical — spread (scan-parallelism repair), the md5u base-hash
+materialization, shingle-table reuse, phash64's reduceat fast path and
+batch form, the gradient memo, and the vectorized fetch verifier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_crawler_spark.functions import images as img
+from facebook_crawler_spark.operators.partitioning import spread
+
+
+def test_spread_repartitions_narrow_input(spark):
+    df = spark.range(0, 1000, 1, 1).withColumn("v", F.col("id") * 2)
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_spread_noop_on_wide_input(spark):
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism + 4)
+    assert spread(wide) is wide
+
+
+def test_spread_noop_on_exchange_bearing_plan(spark):
+    # downstream of a shuffle the parallelism is already the cluster's;
+    # probing such a plan via .rdd would eagerly run its query stages
+    agg = spark.range(0, 1000, 1, 4).groupBy((F.col("id") % 7).alias("k")).count()
+    assert spread(agg) is agg
+
+
+def test_minhash_shingles_df_reuse_identical(spark):
+    from facebook_crawler_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        shingle_table,
+        verify_near_dups,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base_c = minhash_lsh_candidates(d, "doc_id", "text", 16, 4, hash_family="md5u")
+    base_v = verify_near_dups(base_c, d, "doc_id", "text", threshold=0.5)
+    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=False)
+    opt_c = minhash_lsh_candidates(
+        d, "doc_id", "text", 16, 4, hash_family="md5u", shingles_df=sh
+    )
+    opt_v = verify_near_dups(opt_c, d, "doc_id", "text", threshold=0.5, shingles_df=sh)
+    assert sorted(map(tuple, base_c.collect())) == sorted(map(tuple, opt_c.collect()))
+    assert sorted(map(tuple, base_v.collect())) == sorted(map(tuple, opt_v.collect()))
+
+
+def _phash64_integral_reference(arr: np.ndarray) -> int:
+    """The pre-round-6 integral-image formulation, kept as the oracle for
+    the reduceat fast path."""
+    h, w = arr.shape[:2]
+    s = arr.sum(axis=-1, dtype=np.int64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(s, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    ye = np.maximum(ys[1:], ys[:-1] + 1)
+    xe = np.maximum(xs[1:], xs[:-1] + 1)
+    y0, x0 = ys[:-1], xs[:-1]
+    sums = ii[np.ix_(ye, xe)] - ii[np.ix_(y0, xe)] - ii[np.ix_(ye, x0)] + ii[np.ix_(y0, x0)]
+    counts = (ye - y0)[:, None] * (xe - x0)[None, :]
+    blocks = sums / (3.0 * counts)
+    bits = (blocks > blocks.mean()).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def test_phash64_fast_path_and_batch_bit_identical():
+    for idx in range(60):
+        w = 8 + (idx * 11) % 150
+        h = 8 + (idx * 17) % 150
+        arr = img.pixels_for(idx, w, h)
+        want = _phash64_integral_reference(arr)
+        assert img.phash64(arr) == want
+        stack = np.stack([img.pixels_for(idx * 100 + k, w, h) for k in range(5)])
+        got = img.phash64_batch(stack)
+        assert list(got) == [_phash64_integral_reference(stack[k]) for k in range(5)]
+    # tiny-dims fallback still matches the reference (overlapping blocks)
+    for w, h in [(1, 1), (3, 5), (7, 9), (5, 64)]:
+        arr = img.pixels_for(1, w, h)
+        assert img.phash64(arr) == _phash64_integral_reference(arr)
+    with pytest.raises(ValueError):
+        img.phash64_batch(np.zeros((1, 4, 4, 3), dtype=np.uint8))
+
+
+def test_pixels_for_gradient_memo_bit_identical():
+    def pixels_ref(index, w, h):
+        rng = np.random.Generator(np.random.PCG64(0xFACE_B00C + index))
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        grad = np.empty((h, w, 3), dtype=np.uint8)
+        grad[..., 0] = ((x * 255) // max(w - 1, 1)).astype(np.uint8)[None, :]
+        grad[..., 1] = ((y * 255) // max(h - 1, 1)).astype(np.uint8)[:, None]
+        grad[..., 2] = ((x[None, :] + y[:, None]) % 256).astype(np.uint8)
+        noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+        return (grad.astype(np.uint16) + noise).clip(0, 255).astype(np.uint8)
+
+    for idx in range(50):
+        w = 1 + (idx * 7) % 140
+        h = 1 + (idx * 13) % 140
+        np.testing.assert_array_equal(img.pixels_for(idx, w, h), pixels_ref(idx, w, h))
+
+
+def test_vectorized_verifier_matches_scalar_semantics(spark):
+    from facebook_crawler_spark.sources.synthetic import caption_for, image_row
+    from facebook_crawler_spark.streaming.round_runner import _verify_udf
+
+    rows = [image_row(i, 97) for i in range(200)]
+    ids = [f"img_{i:012d}" for i in range(200)]
+    bufs = [r[0] for r in rows]
+    caps = [r[4] for r in rows]
+    phs = [str(r[5]) for r in rows]
+    # corruption menu: truncated payload, bad magic, wrong caption,
+    # flipped phash bit, null payload, unparsable id
+    bufs[5] = bufs[5][:20]
+    bufs[17] = b"XXXX" + bufs[17][4:]
+    caps[23] = "wrong caption"
+    phs[31] = str(int(phs[31]) ^ 1)
+    bufs[41] = None
+    ids[53] = "garbage"
+    f = _verify_udf().func
+    res = f(pd.Series(ids), pd.Series(bufs), pd.Series(caps), pd.Series(phs))
+    for i in range(200):
+        if bufs[i] is None:
+            want = None
+        else:
+            try:
+                idx = int(ids[i].split("_")[1])
+                fmt, arr = img.decode(bytes(bufs[i]))
+                ref = img.pixels_for(idx, arr.shape[1], arr.shape[0])
+                pok = (
+                    np.array_equal(arr, ref) if fmt == "png" else img.psnr(ref, arr) >= 40.0
+                )
+                want = bool(
+                    pok and caps[i] == caption_for(idx) and img.phash64(arr) == int(phs[i])
+                )
+            except Exception:
+                want = False
+        assert res[i] == want, (i, res[i], want)
