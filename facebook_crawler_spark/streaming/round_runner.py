@@ -194,6 +194,7 @@ class CrawlEngine:
         hash_mode: str = "xxhash64",  # "xxhash64" (JVM, production) | "fnv" (sim-parity)
         fetch_join: str = "auto",  # "auto" | "broadcast" | "shuffle"
         broadcast_schedule_max: int = 250_000,
+        inline_verify_max: int = 100_000,  # pending bound below which the verify verdict rides the append plan (0 = always slim)
         images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
         images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
         frontier_n_buckets: int = 0,  # >0: frontier table partitioned by p_fbucket = pmod(url_hash, n)
@@ -257,6 +258,12 @@ class CrawlEngine:
         # granularity.
         self.fetch_join = fetch_join
         self.broadcast_schedule_max = broadcast_schedule_max
+        # Verify-path election (see run_round): below this driver-known
+        # pending bound the verify verdict is computed inline in the append
+        # plan (one job per round); above it the slim-projection +
+        # failures-broadcast form keeps payload bytes out of the
+        # ArrowEvalPython buffer queue. 0 forces the slim path everywhere.
+        self.inline_verify_max = inline_verify_max
         self.images_bucketed = images_bucketed
         # Schedule-pruned images scan (sources/layout.py): when the caller
         # read `images` from a bucket(n, image_id) layout, every round's
@@ -835,15 +842,17 @@ class CrawlEngine:
         # join, Iceberg bucket(N)) — same plan property: bytes don't move.
         out_cols = ["image_id", "url_hash", "canonical_url", "host", "host_rank"]
         slim = selected.select(*out_cols)  # join only what the output needs
+        # pending = |frontier| − |seen| upper-bounds |selected| and is
+        # already known driver-side (no job) — elects both the fetch-join
+        # strategy here and the verify path below.
+        pending_bound = self._remaining()
         if self.fetch_join == "broadcast":
             use_broadcast = True
         elif self.fetch_join == "shuffle":
             use_broadcast = False
         else:
-            # pending = |frontier| − |seen| upper-bounds |selected| and is
-            # already known driver-side (no job). Shuffle is only legal
-            # when the images layout was asserted (see __init__).
-            pending_bound = self._remaining()
+            # Shuffle is only legal when the images layout was asserted
+            # (see __init__).
             use_broadcast = not (
                 self.images_bucketed
                 and pending_bound is not None
@@ -932,7 +941,32 @@ class CrawlEngine:
         # subtree (payload bytes through the Python boundary) out of the
         # stats-side plans entirely (an outer join is not prunable away).
         stats_src = fetched
-        if self.verify_payloads:
+        if self.verify_payloads and (
+            pending_bound is not None and pending_bound <= self.inline_verify_max
+        ):
+            # Small-round INLINE path: the verdict is computed directly in
+            # the append plan — one job instead of a separate verify-
+            # broadcast job per round. The tri-state UDF already matches
+            # the reconstructed column exactly (None for null bytes/phash,
+            # False for rejected, True otherwise). Safe only when the
+            # politeness-bounded round is small: ArrowEvalPython buffers
+            # its child rows (payload bytes included) in a per-task JVM
+            # queue while Python round-trips, so the queue is bounded by
+            # ~(pending_bound / tasks) x payload size here; big rounds take
+            # the slim-projection path below, whose queue rows are ~30
+            # bytes. Steady politeness rounds are the common case — this
+            # removes one full images-source traversal per round.
+            if self._verify_fn is None:
+                self._verify_fn = _verify_udf()
+            verify = self._verify_fn
+            fetched = fetched.withColumn(
+                "verified",
+                verify(
+                    F.col("image_id"), F.col("bytes"), F.col("caption"),
+                    F.col("phash").cast("string"),
+                ),
+            )
+        elif self.verify_payloads:
             # The verify UDF runs over a SLIM projection and only FAILING
             # url_hashes are joined back (broadcast — normally empty).
             # Rationale: ArrowEvalPython buffers every child row in a JVM

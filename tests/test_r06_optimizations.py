@@ -145,3 +145,31 @@ def test_vectorized_verifier_matches_scalar_semantics(spark):
             except Exception:
                 want = False
         assert res[i] == want, (i, res[i], want)
+
+
+def test_inline_and_slim_verify_paths_identical(spark, tmp_path):
+    """The verify-path election (inline verdict in the append plan vs slim
+    projection + failures broadcast) must produce byte-identical fetched
+    tables — same verified tri-state on every row."""
+    from facebook_crawler_spark.sources import synthetic as syn
+    from facebook_crawler_spark.streaming.round_runner import CrawlEngine
+
+    images = syn.gen_images(spark, 60, partitions=2, dim_span=9)
+    hosts = syn.gen_hosts(spark, 4, token_rate=40)
+    seeds = syn.gen_frontier_seeds(spark, 200, n_images=60, n_hosts=4)
+    outs = {}
+    for label, inline_max in (("inline", 1 << 30), ("slim", 0)):
+        wd = str(tmp_path / label)
+        eng = CrawlEngine(
+            spark, wd, images, hosts, error_permille=150,
+            verify_payloads=True, store_payloads=True,
+            inline_verify_max=inline_max,
+        )
+        eng.seed(seeds)
+        eng.run(max_rounds=8)
+        outs[label] = sorted(
+            map(tuple, eng.fetched.read(spark).select(
+                "url_hash", "fetch_round", "status", "verified"
+            ).collect())
+        )
+    assert outs["inline"] == outs["slim"] and len(outs["inline"]) > 0
