@@ -195,6 +195,7 @@ class CrawlEngine:
         fetch_join: str = "auto",  # "auto" | "broadcast" | "shuffle"
         broadcast_schedule_max: int = 250_000,
         inline_verify_max: int = 100_000,  # pending bound below which the verify verdict rides the append plan (0 = always slim)
+        inline_verify_bytes: int = 4 << 30,  # payload-bytes bound (pending x est. bytes/row) for the same election when Catalyst stats expose bytes/row
         images_bucketed: bool = False,  # caller asserts images is hash-laid-out by image_id
         images_n_buckets: int = 0,  # >0: images carries layout.BUCKET_COL = bucket(n, image_id)
         frontier_n_buckets: int = 0,  # >0: frontier table partitioned by p_fbucket = pmod(url_hash, n)
@@ -263,7 +264,14 @@ class CrawlEngine:
         # plan (one job per round); above it the slim-projection +
         # failures-broadcast form keeps payload bytes out of the
         # ArrowEvalPython buffer queue. 0 forces the slim path everywhere.
+        # `inline_verify_bytes` refines the row bound when the images plan
+        # carries Catalyst row-count stats (a cached/counted table does):
+        # inline is also allowed when pending x estimated-bytes-per-row
+        # stays under this budget — the quantity the queue concern is
+        # actually about. Unknown stats → row bound only (conservative).
         self.inline_verify_max = inline_verify_max
+        self.inline_verify_bytes = inline_verify_bytes
+        self._img_row_bytes: float | None | str = "unset"
         self.images_bucketed = images_bucketed
         # Schedule-pruned images scan (sources/layout.py): when the caller
         # read `images` from a bucket(n, image_id) layout, every round's
@@ -941,9 +949,19 @@ class CrawlEngine:
         # subtree (payload bytes through the Python boundary) out of the
         # stats-side plans entirely (an outer join is not prunable away).
         stats_src = fetched
-        if self.verify_payloads and (
-            pending_bound is not None and pending_bound <= self.inline_verify_max
-        ):
+        est_row_bytes = self._avg_image_row_bytes() if self.verify_payloads else None
+        inline_verify = (
+            self.inline_verify_max > 0  # 0 = slim everywhere (A/B knob)
+            and pending_bound is not None
+            and (
+                pending_bound <= self.inline_verify_max
+                or (
+                    est_row_bytes is not None
+                    and pending_bound * est_row_bytes <= self.inline_verify_bytes
+                )
+            )
+        )
+        if self.verify_payloads and inline_verify:
             # Small-round INLINE path: the verdict is computed directly in
             # the append plan — one job instead of a separate verify-
             # broadcast job per round. The tri-state UDF already matches
@@ -1247,6 +1265,30 @@ class CrawlEngine:
             "quarantine_alerts": n_alerts,
             "timings": tmark,
         }
+
+    def _avg_image_row_bytes(self) -> float | None:
+        """Catalyst's bytes-per-row estimate for the images plan, or None.
+
+        A cached-and-materialized images table exposes an exact rowCount in
+        its statistics (the common bench/production shape); a bare file
+        scan usually exposes sizeInBytes only, in which case the verify
+        election falls back to the conservative row bound. Computed once
+        per engine (pure driver-side metadata; no job)."""
+        if self._img_row_bytes != "unset":
+            return self._img_row_bytes  # type: ignore[return-value]
+        est: float | None = None
+        try:
+            stats = self.images._jdf.queryExecution().optimizedPlan().stats()
+            rc = stats.rowCount()
+            if rc.isDefined():
+                rows = int(rc.get().toString())
+                size = int(stats.sizeInBytes().toString())
+                if rows > 0:
+                    est = size / rows
+        except Exception:
+            est = None
+        self._img_row_bytes = est
+        return est
 
     def _remaining(self) -> int | None:
         """|frontier| − |seen|: pending work, known driver-side without a
