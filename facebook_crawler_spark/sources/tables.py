@@ -103,6 +103,12 @@ class Table:
                 return True
         return False
 
+    # data dir of the most recent append on THIS Table handle (None when the
+    # append was an empty no-op or no append ran yet): lets a caller read
+    # back exactly the rows it just committed without re-deriving their plan
+    # or scanning the whole table (the crawl round's stats projection).
+    last_appended_dir: str | None = None
+
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Append a commit; a write that produced no parquet part files
         (empty DataFrame, AQE-coalesced to zero partitions) is a no-op —
@@ -127,8 +133,10 @@ class Table:
         new_dir = self._write_data(df, partition_by)
         if not self._has_parts(new_dir):
             shutil.rmtree(new_dir, ignore_errors=True)
+            self.last_appended_dir = None
             return cur
         prev = self._read_manifest(cur) if cur else []
+        self.last_appended_dir = new_dir
         return self._commit(prev + [new_dir], partition_by=partition_by)
 
     def overwrite(

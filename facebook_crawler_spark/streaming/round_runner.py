@@ -803,6 +803,11 @@ class CrawlEngine:
             t_last = now
 
         round_no = self.committed_round() + 1
+        # label this round's jobs (guide §1: setJobDescription) — the
+        # description is a thread-local driver property, zero task cost;
+        # the commit-pool branches label their own threads below
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"crawl r{round_no} plan+fetch")
         # Pin the state INPUT to the pre-round snapshot: if a crashed run
         # already overwrote host_state for this round (commit meta carries
         # the round), the re-run must recompute from the version BEFORE any
@@ -837,6 +842,16 @@ class CrawlEngine:
         selected = politeness.budget_rank(
             candidates, budgets, default_budget=politeness.DEFAULT_TOKEN_RATE
         ).cache()
+        # Materialize the schedule cache NOW, with one job: the fetch plan
+        # below references `selected` from several independent AQE stage
+        # jobs (the slim broadcast build, the miss anti-join's left side,
+        # the hit-hash broadcast), and AQE launches them CONCURRENTLY —
+        # each raced the cache fill and recomputed the two-window
+        # budget-rank pipeline from scratch (event-log profile: SIX
+        # simultaneous window-pipeline jobs in round 1, three per steady
+        # round). One eager count turns every later reference into an
+        # InMemoryTableScan.
+        selected.count()
 
         # Synthetic fetch (north_rule): frontier ⋈ images on image_id.
         # Join direction matters enormously: a plain shuffle join moves the
@@ -1037,6 +1052,13 @@ class CrawlEngine:
             # bytes were still fetched and verified above; they are just not
             # persisted in the committed table
             fetched = fetched.withColumn("bytes", F.lit(None).cast("binary"))
+        # NOT coalesced to the round's row bound: an A/B (profile4, this
+        # round) measured coalescing the politeness-bounded append to
+        # ~rows/8k tasks at 3x SLOWER steady rounds (1.2 → 3.5 s) — the
+        # stage's cost is the full images-cache scan feeding the join, not
+        # per-task overhead, and coalesce throttles exactly that scan's
+        # parallelism. The ~96 small output files per round are bounded by
+        # #rounds x parallelism and compacted by Table.compact if needed.
         # Round stats ride the fetched append via an Observation — zero
         # extra jobs (previously a separate .first() aggregation job per
         # round, one of the core-count-independent per-round barriers).
@@ -1048,23 +1070,87 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         )
-        # Cache only the slim stats projection, NOT the full rows: the
-        # previous full-row cache materialized the round's ~GBs of payload
-        # `bytes` into block storage purely so downstream aggregations
-        # could re-read 30-byte rows. Now the bytes flow images-scan →
-        # verify → parquet exactly once inside the append job, and the
-        # stats consumers share a 4-column cache whose plan re-derives the
-        # fetch join pruned to (image_id, caption) — no payload column
-        # touched, no verify subtree evaluated.
-        stats = stats_src.select("url_hash", "host", "status", "fetch_seq").cache()
+        # Commit protocol (ST2): data first, ledger last. The ledger commit
+        # is the round barrier — a crash in between leaves data for a round
+        # the ledger doesn't know about, and the guards below make the
+        # re-run skip the (byte-identical, deterministic) appends, so a
+        # resumed run converges to exactly the uninterrupted tables. Only a
+        # freshly (re)started process can be in that half-committed state,
+        # so steady-state rounds skip the probes.
+        already_written = (
+            self._fresh_process
+            and self.fetched.exists()
+            and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
+        )
+        already_alerted = (
+            self._fresh_process
+            and self.alerts.exists()
+            and self.alerts.read(self.spark).filter(F.col("round") == round_no).limit(1).count() > 0
+        )
+        self._fresh_process = False
+        # deferred-ledger barrier: the previous round's ledger commit ran
+        # while this round's plan was built above; it must land before this
+        # round's first table write (any residual wait lands in "plan")
+        self._await_ledger()
+        mark("plan")
+        sc.setJobDescription(f"crawl r{round_no} fetch_commit")
+
+        # The slim stats projection every post-append consumer reads
+        # (url_hash, host, status, fetch_seq — none needs `verified` or the
+        # payload). It is derived from the round's COMMITTED rows, not by
+        # re-deriving the fetch-join plan: the two commit branches below run
+        # concurrently, and when stats was a cached re-derivation they raced
+        # the cache fill and each re-ran the pruned fetch join (event-log
+        # profile: two simultaneous 96-task jobs per round). Reading the
+        # just-appended data dir back is a tiny column-pruned parquet scan
+        # of exactly this round's rows — identical data by the determinism
+        # contract, no recompute, no cache to manage.
+        stats_cols = ["url_hash", "host", "status", "fetch_seq"]
+        if os.environ.get("FCS_EXPLAIN_DIR"):
+            # debug/audit hook (guide §1): dump the round's append plan
+            d = os.environ["FCS_EXPLAIN_DIR"]
+            os.makedirs(d, exist_ok=True)
+            plan = self.spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                fetched._jdf.queryExecution(), "formatted"
+            )
+            with open(os.path.join(d, f"fetch_r{round_no:03d}.txt"), "w") as fh:
+                fh.write(plan)
+        if not already_written:
+            # The append IS the round's materializing action: it fills the
+            # stats Observation in the same job. An empty round's append is
+            # a commit-level no-op (Table.append skips part-less writes),
+            # so no pre-count is needed.
+            self.fetched.append(fetched)
+            n_sched = int(obs.get["n"] or 0)
+            n_ok = int(obs.get["ok"] or 0)
+            rd_dir = self.fetched.last_appended_dir
+            if rd_dir is not None:
+                stats = self.spark.read.parquet(rd_dir).select(*stats_cols)
+            else:  # empty round: no consumer executes this plan (n_sched=0)
+                stats = stats_src.select(*stats_cols)
+        else:
+            # resume re-run: this round's rows are already committed — read
+            # them back from the table (same rows the append would produce)
+            stats = (
+                self.fetched.read(self.spark)
+                .filter(F.col("fetch_round") == round_no)
+                .select(*stats_cols)
+            )
+            agg = stats.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            ).first()
+            n_sched = int(agg.n)
+            n_ok = int(agg.ok) if agg.ok is not None else 0
+        mark("fetch_commit")
 
         # per-host outcome for the quarantine state machine
-        # ONE aggregation of the round's 10^5-10^6 cached rows serves both
-        # per-round consumers: the host state machine reads it directly and
-        # the lineage ledger derives from its ~|hosts| rows (partition_id
-        # is a pure function of host, so regrouping the host rows by it is
-        # exact) — previously each consumer re-aggregated the full cache,
-        # one extra shuffle job per round.
+        # ONE aggregation of the round's 10^5-10^6 committed rows serves
+        # both per-round consumers: the host state machine reads it directly
+        # and the lineage ledger derives from its ~|hosts| rows
+        # (partition_id is a pure function of host, so regrouping the host
+        # rows by it is exact) — previously each consumer re-aggregated the
+        # full round, one extra shuffle job per round.
         host_agg = stats.groupBy("host").agg(
             F.count("*").alias("n_items"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_cnt"),
@@ -1105,47 +1191,6 @@ class CrawlEngine:
             "errors", "hosts_touched", F.current_timestamp().alias("committed_at"),
         )
 
-        # Commit protocol (ST2): data first, ledger last. The ledger commit
-        # is the round barrier — a crash in between leaves data for a round
-        # the ledger doesn't know about, and the guards below make the
-        # re-run skip the (byte-identical, deterministic) appends, so a
-        # resumed run converges to exactly the uninterrupted tables. Only a
-        # freshly (re)started process can be in that half-committed state,
-        # so steady-state rounds skip the probes.
-        already_written = (
-            self._fresh_process
-            and self.fetched.exists()
-            and self.fetched.read(self.spark).filter(F.col("fetch_round") == round_no).limit(1).count() > 0
-        )
-        already_alerted = (
-            self._fresh_process
-            and self.alerts.exists()
-            and self.alerts.read(self.spark).filter(F.col("round") == round_no).limit(1).count() > 0
-        )
-        self._fresh_process = False
-        # deferred-ledger barrier: the previous round's ledger commit ran
-        # while this round's plan was built above; it must land before this
-        # round's first table write (any residual wait lands in "plan")
-        self._await_ledger()
-        mark("plan")
-
-        if not already_written:
-            # The append IS the round's materializing action: it fills the
-            # cache and the stats Observation in the same job. An empty
-            # round's append is a commit-level no-op (Table.append skips
-            # part-less writes), so no pre-count is needed.
-            self.fetched.append(fetched)
-            n_sched = int(obs.get["n"] or 0)
-            n_ok = int(obs.get["ok"] or 0)
-        else:
-            agg = stats.agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            ).first()
-            n_sched = int(agg.n)
-            n_ok = int(agg.ok) if agg.ok is not None else 0
-        mark("fetch_commit")
-
         # Commit overlap: the three post-fetch branches are mutually
         # independent, so they run in two concurrent threads —
         #   A: host_state overwrite (+ the rare alert append)
@@ -1162,6 +1207,7 @@ class CrawlEngine:
         # directories; the ~0.5-1 s/branch of driver-side commit tail
         # (manifest write, file moves) now overlaps instead of summing.
         def _branch_state() -> int:
+            sc.setJobDescription(f"crawl r{round_no} state")
             if n_sched == 0:
                 return 0
             # host_state.overwrite is deterministic given the PINNED state
@@ -1186,6 +1232,7 @@ class CrawlEngine:
             return n
 
         def _branch_disc_seen() -> int:
+            sc.setJobDescription(f"crawl r{round_no} disc+seen")
             n_d = 0
             if self.discovery is not None and n_ok > 0:
                 # before the ledger barrier (see _expand_discoveries
@@ -1227,6 +1274,7 @@ class CrawlEngine:
             # the round caches stay alive until the append lands (lineage
             # reads host_agg reads fetched); cleanup rides the same unit so
             # the deferred path can't unpersist under an in-flight append
+            sc.setJobDescription(f"crawl r{round_no} ledger")
             try:
                 if n_sched > 0:
                     self.ledger.append(lineage)
@@ -1239,7 +1287,6 @@ class CrawlEngine:
             finally:
                 selected.unpersist()
                 host_agg.unpersist()
-                stats.unpersist()
                 # every consumer of this round's bloom/cuckoo broadcasts is
                 # checkpoint-truncated (pending fold) or fully materialized
                 # — safe to let the ContextCleaner reclaim them. The next

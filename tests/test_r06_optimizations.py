@@ -173,3 +173,35 @@ def test_inline_and_slim_verify_paths_identical(spark, tmp_path):
             ).collect())
         )
     assert outs["inline"] == outs["slim"] and len(outs["inline"]) > 0
+
+
+def test_table_last_appended_dir_contract(spark, tmp_path):
+    """`Table.last_appended_dir` (the crawl round's stats source) must point
+    at a directory holding EXACTLY the appended rows, and reset to None on
+    an empty (no-op) append."""
+    from facebook_crawler_spark.sources.tables import Table
+
+    t = Table(str(tmp_path / "t"))
+    assert t.last_appended_dir is None
+    t.append(spark.range(0, 5).withColumn("v", F.col("id") * 10))
+    d1 = t.last_appended_dir
+    assert d1 is not None
+    assert sorted(r.id for r in spark.read.parquet(d1).collect()) == [0, 1, 2, 3, 4]
+    # empty append: either a commit-level no-op (marker cleared) or a
+    # schema-only commit (marker points at a 0-row dir) — both satisfy the
+    # stats contract (the dir holds exactly the appended rows)
+    v_before = t.current_version()
+    t.append(spark.range(0, 0).withColumn("v", F.col("id") * 10))
+    if t.last_appended_dir is None:
+        assert t.current_version() == v_before
+    else:
+        assert spark.read.parquet(t.last_appended_dir).count() == 0
+    # next real append: marker moves to the NEW dir only
+    t.append(spark.range(5, 8).withColumn("v", F.col("id") * 10))
+    d2 = t.last_appended_dir
+    assert d2 is not None and d2 != d1
+    assert sorted(r.id for r in spark.read.parquet(d2).collect()) == [5, 6, 7]
+    # the table itself still reads the union of all committed rows
+    assert sorted(
+        r.id for r in t.read(spark).select("id").collect()
+    ) == list(range(8))
