@@ -49,7 +49,8 @@ def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
 
 
 def budget_rank(
-    pending: DataFrame, host_budgets: DataFrame, default_budget: int | None = None
+    pending: DataFrame, host_budgets: DataFrame, default_budget: int | None = None,
+    two_stage: bool = True,
 ) -> DataFrame:
     """Select each host's next `budget` URLs in deterministic crawl order.
 
@@ -61,6 +62,13 @@ def budget_rank(
     surviving ≤ budget×salt_factor rows per host — a tiny set — so the
     final per-host order is byte-identical to a direct top-k, without the
     skewed shuffle.
+
+    `two_stage=False` skips stage 1 (one window = one exchange+sort instead
+    of two) and is byte-identical by construction — stage 1 only pre-prunes
+    a superset of what stage 2 keeps. Callers that KNOW the pending set is
+    small (the crawl engine's driver-side pending bound in the politeness-
+    bounded steady state) elect the single-window form; the skew-safe
+    default stays on everywhere the input may be frontier-scale.
 
     `default_budget`: budget for hosts absent from `host_budgets` (discovered
     hosts outside the dimension). None (default) keeps the inner-join
@@ -76,16 +84,19 @@ def budget_rank(
         p = pending.join(
             F.broadcast(host_budgets.select("host", "budget")), "host", "left"
         ).withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
-    w1 = Window.partitionBy("host", "host_salt").orderBy(*host_order())
-    stage1 = p.withColumn("__r1", F.row_number().over(w1)).filter(
-        F.col("__r1") <= F.col("budget")
-    )
+    stage1 = p
+    if two_stage:
+        w1 = Window.partitionBy("host", "host_salt").orderBy(*host_order())
+        stage1 = p.withColumn("__r1", F.row_number().over(w1)).filter(
+            F.col("__r1") <= F.col("budget")
+        )
     w2 = Window.partitionBy("host").orderBy(*host_order())
-    return (
+    out = (
         stage1.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= F.col("budget"))
-        .drop("__r1", "budget")
+        .drop("budget")
     )
+    return out.drop("__r1") if two_stage else out
 
 
 def update_host_state(

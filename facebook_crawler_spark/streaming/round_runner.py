@@ -839,8 +839,24 @@ class CrawlEngine:
             .join(F.broadcast(quarantined), "host", "left_anti")
         )
         candidates = politeness.robots_filter(eligible, self.hosts)
+        # pending = |frontier| − |seen| upper-bounds the round's schedulable
+        # rows and is already known driver-side (no job) — it elects the
+        # budget-rank form here and the fetch-join/verify paths below.
+        pending_bound = self._remaining()
+        # Single-window budget rank for driver-known-small rounds: the
+        # skew-safe two-stage form exists for frontier-scale inputs (a hot
+        # host funneling 10^10 rows through one window task); a politeness-
+        # bounded steady round is at most `pending_bound` rows, so when that
+        # bound is broadcast-class small the salt-shard pre-rank only adds
+        # an exchange+sort per round. Byte-identical output by construction
+        # (stage 1 keeps a superset of stage 2's winners; tested in
+        # tests/test_streaming_units.py).
+        small_round = (
+            pending_bound is not None and pending_bound <= self.broadcast_schedule_max
+        )
         selected = politeness.budget_rank(
-            candidates, budgets, default_budget=politeness.DEFAULT_TOKEN_RATE
+            candidates, budgets, default_budget=politeness.DEFAULT_TOKEN_RATE,
+            two_stage=not small_round,
         ).cache()
         # Materialize the schedule cache NOW, with one job: the fetch plan
         # below references `selected` from several independent AQE stage
@@ -865,10 +881,6 @@ class CrawlEngine:
         # join, Iceberg bucket(N)) — same plan property: bytes don't move.
         out_cols = ["image_id", "url_hash", "canonical_url", "host", "host_rank"]
         slim = selected.select(*out_cols)  # join only what the output needs
-        # pending = |frontier| − |seen| upper-bounds |selected| and is
-        # already known driver-side (no job) — elects both the fetch-join
-        # strategy here and the verify path below.
-        pending_bound = self._remaining()
         if self.fetch_join == "broadcast":
             use_broadcast = True
         elif self.fetch_join == "shuffle":

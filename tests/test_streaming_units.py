@@ -184,6 +184,12 @@ def test_budget_rank_matches_direct_topk(spark):
     # budget respected
     assert sum(1 for h, _, _ in out if h == "hot.test") == 50
     assert sum(1 for h, _, _ in out if h == "cold.test") == 30
+    # the single-window form (elected by the engine for driver-known-small
+    # rounds) must be byte-identical to the skew-safe two-stage default
+    got1 = politeness.budget_rank(pending, budgets, two_stage=False)
+    out1 = [(r.host, r.host_rank, r.url_hash) for r in got1.collect()]
+    assert sorted(out1) == sorted(exp)
+    assert sorted(got1.columns) == sorted(got.columns)
 
 
 def test_robots_filter(spark):
