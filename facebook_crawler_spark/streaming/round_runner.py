@@ -857,17 +857,22 @@ class CrawlEngine:
         selected = politeness.budget_rank(
             candidates, budgets, default_budget=politeness.DEFAULT_TOKEN_RATE,
             two_stage=not small_round,
-        ).cache()
-        # Materialize the schedule cache NOW, with one job: the fetch plan
-        # below references `selected` from several independent AQE stage
-        # jobs (the slim broadcast build, the miss anti-join's left side,
-        # the hit-hash broadcast), and AQE launches them CONCURRENTLY —
-        # each raced the cache fill and recomputed the two-window
-        # budget-rank pipeline from scratch (event-log profile: SIX
+        )
+        # Materialize the schedule NOW, with one job: the fetch plan below
+        # references `selected` from several independent AQE stage jobs
+        # (the slim broadcast build, the miss anti-join's left side, the
+        # hit-hash broadcast), and AQE launches them CONCURRENTLY — under a
+        # bare .cache() each raced the cache fill and recomputed the
+        # budget-rank window pipeline from scratch (event-log profile: SIX
         # simultaneous window-pipeline jobs in round 1, three per steady
-        # round). One eager count turns every later reference into an
-        # InMemoryTableScan.
-        selected.count()
+        # round). Eager localCheckpoint over cache+count: same single job,
+        # but it also TRUNCATES the logical plan that every downstream
+        # analysis re-walks (paired A/B both orders: steady rounds ~1.9 s
+        # vs ~2.3 s). Blocks are reclaimed by the ContextCleaner when the
+        # round's DataFrame goes out of scope — the same lifecycle as the
+        # pending fold's checkpoints; on a cluster swap for reliable
+        # checkpoint(dir) if executor loss must not fail the round.
+        selected = selected.localCheckpoint(eager=True)
 
         # Synthetic fetch (north_rule): frontier ⋈ images on image_id.
         # Join direction matters enormously: a plain shuffle join moves the
@@ -1297,7 +1302,6 @@ class CrawlEngine:
                     ).withColumn("committed_at", F.current_timestamp())
                     self.ledger.append(empty)
             finally:
-                selected.unpersist()
                 host_agg.unpersist()
                 # every consumer of this round's bloom/cuckoo broadcasts is
                 # checkpoint-truncated (pending fold) or fully materialized
