@@ -205,3 +205,45 @@ def test_table_last_appended_dir_contract(spark, tmp_path):
     assert sorted(
         r.id for r in t.read(spark).select("id").collect()
     ) == list(range(8))
+
+
+def test_shingles_zipwith_contract(spark):
+    """The zip_with shingle construction must reproduce the documented
+    contract of the old slice+concat_ws form exactly: k-gram strings in
+    first-occurrence order, distinct, empty for NULL/short docs."""
+    from facebook_crawler_spark.operators.dedup import shingles, tokens_of
+
+    rows = [(0, None), (1, ""), (2, "one"), (3, "one two"),
+            (4, "one two three"), (5, "a b c d"), (6, "x x x x x"),
+            (7, "  padded   text  here  !! "), (8, "b a b a b a b")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.sh
+        for r in df.select(
+            "id", shingles(tokens_of(F.col("text")), 3).alias("sh")
+        ).collect()
+    }
+    assert got == {
+        0: [], 1: [], 2: [], 3: [],
+        4: ["one two three"],
+        5: ["a b c", "b c d"],
+        6: ["x x x"],
+        7: ["padded text here"],
+        8: ["b a b", "a b a"],  # distinct, first-occurrence order
+    }
+    # reference re-implementation sweep (the retired transform+slice form)
+    ref = df.select(
+        "id",
+        F.when(
+            F.size(tokens_of(F.col("text"))) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tokens_of(F.col("text"))) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(tokens_of(F.col("text")), i, 3)
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("sh"),
+    )
+    assert got == {r.id: r.sh for r in ref.collect()}
